@@ -1,0 +1,191 @@
+"""Match resolution: special-creation positions, tile elimination/activation,
+special creation.
+
+Counterpart of ``resolve_colour_matches`` (`board.py:397-427`),
+``get_special_creation_pos`` (`board.py:429-458`), ``resolve_colour_match``
+(`board.py:460-471`) and ``create_special`` (`board.py:572-597`), with the
+recursive activation chains executed by the stack machine in ``activate.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    EnvConfig,
+    KIND_COOKIE,
+    KIND_NORMAL,
+    MATCH_COOKIE,
+    MATCH_NORMAL,
+)
+from .activate import machine_init, machine_step, push_frame
+from .classify import Matches
+from .runs import BIG
+
+
+def _creation_pos(cfg: EnvConfig, match_coords, n, is_bomb, taken):
+    """One match's special-creation coordinate (`board.py:429-458`).
+
+    match_coords: i32[CM, 2]; n: live count; taken: bool[R, C].
+    Straight matches take the middle (lower-middle when even) of the
+    taken-filtered coords sorted ascending; bombs take the (mode-x, mode-y)
+    corner if it is a valid coord, else the closest valid coord by squared
+    distance with stable ties.
+    """
+    CM = cfg.match_coords_max
+    R, C = cfg.num_rows, cfg.num_cols
+    jj = jnp.arange(CM, dtype=jnp.int32)
+    rr = jnp.clip(match_coords[:, 0], 0, R - 1)
+    cc = jnp.clip(match_coords[:, 1], 0, C - 1)
+    live = jj < n
+    valid = live & ~taken[rr, cc]
+
+    # --- straight: middle of sorted valid coords ---------------------------
+    key = jnp.where(valid, match_coords[:, 0] * C + match_coords[:, 1], BIG)
+    order = jnp.argsort(key)
+    nv = jnp.sum(valid.astype(jnp.int32))
+    pick = jnp.where(nv % 2 == 0, nv // 2 - 1, nv // 2)
+    pick = jnp.clip(pick, 0, CM - 1)
+    straight_pos = match_coords[order[pick]]
+
+    # --- bomb: mode corner then closest valid ------------------------------
+    xs = match_coords[:, 0]
+    ys = match_coords[:, 1]
+    cnt_x = jnp.sum(
+        (xs[None, :] == xs[:, None]) & live[None, :] & live[:, None], axis=1
+    )
+    cnt_y = jnp.sum(
+        (ys[None, :] == ys[:, None]) & live[None, :] & live[:, None], axis=1
+    )
+    corner_x = xs[jnp.argmax(jnp.where(live, cnt_x, -1))]
+    corner_y = ys[jnp.argmax(jnp.where(live, cnt_y, -1))]
+    corner = jnp.stack([corner_x, corner_y])
+    corner_valid = jnp.any(
+        valid & (xs == corner_x) & (ys == corner_y)
+    )
+    d2 = (xs - corner_x) ** 2 + (ys - corner_y) ** 2
+    dkey = jnp.where(valid, d2 * CM + jj, BIG)
+    closest = match_coords[jnp.argmin(dkey)]
+    bomb_pos = jnp.where(corner_valid, corner, closest)
+
+    return jnp.where(is_bomb, bomb_pos, straight_pos)
+
+
+def resolve_colour_matches(cfg: EnvConfig, colour, kind, matches: Matches):
+    """Full resolution of one cascade iteration's matches.
+
+    Returns (colour, kind, num_specials_activated_delta, num_new_specials_delta).
+    """
+    R, C = cfg.num_rows, cfg.num_cols
+    MM = matches.coords.shape[0]
+    CM = cfg.match_coords_max
+
+    # ---- phase 1: pick special-creation positions (before any deletion,
+    # `board.py:411-418`) ---------------------------------------------------
+    def pick_body(m, carry):
+        taken, q_r, q_c, q_t, q_col, q_ok = carry
+        is_special_match = (
+            (m < matches.count)
+            & (matches.mtype[m] != MATCH_NORMAL)
+            & (matches.mtype[m] != 0)
+        )
+        pos = _creation_pos(
+            cfg,
+            matches.coords[m],
+            matches.length[m],
+            matches.mtype[m] == 4,  # MATCH_BOMB → not straight
+            taken,
+        )
+        pr = jnp.clip(pos[0], 0, R - 1)
+        pc = jnp.clip(pos[1], 0, C - 1)
+        taken = jnp.where(
+            is_special_match, taken.at[pr, pc].set(True), taken
+        )
+        q_r = q_r.at[m].set(pr)
+        q_c = q_c.at[m].set(pc)
+        q_t = q_t.at[m].set(matches.mtype[m])
+        q_col = q_col.at[m].set(matches.mcolour[m])
+        q_ok = q_ok.at[m].set(is_special_match)
+        return taken, q_r, q_c, q_t, q_col, q_ok
+
+    zi = jnp.zeros((MM,), jnp.int32)
+    taken0 = jnp.zeros((R, C), bool)
+    _, q_r, q_c, q_t, q_col, q_ok = jax.lax.fori_loop(
+        0, MM, pick_body, (taken0, zi, zi, zi, zi, jnp.zeros((MM,), bool))
+    )
+
+    # ---- phase 2: eliminate/activate, match by match, coord by coord
+    # (`board.py:421-423` + `460-471`), via the activation machine ----------
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+
+    def cond(carry):
+        st, m, k = carry
+        sp = st[-1]
+        return (sp > 0) | (m < matches.count)
+
+    def body(carry):
+        st, m, k = carry
+        sp = st[-1]
+
+        def machine(args):
+            st, m, k = args
+            return machine_step(cfg, st), m, k
+
+        def outer(args):
+            st, m, k = args
+            colour, kind = st[0], st[1]
+            mm = jnp.minimum(m, MM - 1)
+            cd = matches.coords[mm]
+            n = matches.length[mm]
+            jj = jnp.arange(CM, dtype=jnp.int32)
+            rr = jnp.clip(cd[:, 0], 0, R - 1)
+            ccd = jnp.clip(cd[:, 1], 0, C - 1)
+            pend = (jj >= k) & (jj < n)
+            kd = kind[rr, ccd]
+            is_special = pend & (kd != 0) & (kd != KIND_NORMAL)
+            first_j = jnp.min(jnp.where(is_special, jj, BIG))
+            # delete normal coords k..first_j-1 (`board.py:471`)
+            del_sel = pend & (jj < first_j)
+            dmask = jnp.any(
+                del_sel[:, None, None]
+                & (row_ids[None] == cd[:, 0, None, None])
+                & (col_ids[None] == cd[:, 1, None, None]),
+                axis=0,
+            )
+            colour = jnp.where(dmask, 0, colour)
+            kind = jnp.where(dmask, 0, kind)
+            st = (colour, kind) + st[2:]
+            found = first_j < BIG
+            fj = jnp.clip(first_j, 0, CM - 1)
+            sr, sc = rr[fj], ccd[fj]
+            st = push_frame(
+                st, kind[sr, sc], sr, sc, 1, pred=found, idx=-1, fcolour=0
+            )
+            m2 = jnp.where(found, m, m + 1)
+            k2 = jnp.where(found, fj + 1, 0)
+            return st, m2, k2
+
+        return jax.lax.cond(sp > 0, machine, outer, (st, m, k))
+
+    st0 = machine_init(cfg, colour, kind, 0)
+    (st, _, _) = jax.lax.while_loop(
+        cond, body, (st0, jnp.int32(0), jnp.int32(0))
+    )
+    colour, kind, activated = st[0], st[1], st[2]
+
+    # ---- phase 3: create the queued specials (`board.py:426-427`) ---------
+    # Positions are unique (taken-set), so one batched scatter suffices.
+    new_kind_code = jnp.where(q_t == MATCH_COOKIE, KIND_COOKIE, q_t)
+    sr = jnp.where(q_ok, q_r, R)
+    sc = jnp.where(q_ok, q_c, C)
+    colour_p = jnp.pad(colour, ((0, 1), (0, 1)))
+    kind_p = jnp.pad(kind, ((0, 1), (0, 1)))
+    colour_p = colour_p.at[sr, sc].set(q_col)
+    kind_p = kind_p.at[sr, sc].set(new_kind_code)
+    colour = colour_p[:R, :C]
+    kind = kind_p[:R, :C]
+    num_new = jnp.sum(q_ok.astype(jnp.int32))
+
+    return colour, kind, activated, num_new
