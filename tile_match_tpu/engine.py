@@ -1,0 +1,245 @@
+"""The core engine: pure-functional reset/step over ``EnvState``.
+
+TPU-native restructuring of ``Board.move`` (`board.py:330-395`),
+``Board.generate_board`` (`board.py:95-112`) and ``TileMatchEnv.step/reset``
+(`tile_match_env.py:84-112`): every unbounded Python loop becomes a bounded
+``lax.while_loop`` (cascade, regeneration, playability), every per-action
+scan becomes the batched effective mask, and all randomness is counter-based
+threefry per environment.  ``jax.vmap(step)`` steps thousands of boards in
+lockstep; see ``parallel/`` for multi-chip sharding.
+
+For bit-exact numpy-RNG parity with the reference, the same kernels are
+driven by the host orchestrator in ``parity.py`` instead of this module's
+threefry draws.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import EnvConfig
+from .state import EnvState, StepInfo, action_table
+from .ops.board_ops import (
+    apply_refill,
+    apply_reroll_rows,
+    apply_shuffle,
+    draw_colour_grid,
+    gravity,
+    swap_cells,
+)
+from .ops.classify import process_colour_lines
+from .ops.combination import combination_match, is_combination
+from .ops.effective import effective_mask, possible_move
+from .ops.lines import first_line_info, get_colour_lines, has_any_line
+from .ops.resolve import resolve_colour_matches
+
+
+def _refill_native(cfg, colour, kind, key):
+    key, k = jax.random.split(key)
+    grid = draw_colour_grid(k, cfg)
+    colour, kind = apply_refill(colour, kind, grid)
+    return colour, kind, key
+
+
+def make_playable(cfg: EnvConfig, colour, kind, key, init_has_lines, init_top):
+    """The regenerate/playability loop shared by ``generate_board``
+    (`board.py:102-109`) and the end of ``move`` (`board.py:381-391`).
+
+    While the board has no effective move or still has colour lines: if lines
+    exist, re-roll all rows down to one past the first line's top row
+    (`board.py:120-131`); otherwise shuffle.  Returns whether any shuffle
+    happened (the ``shuffled`` info flag).
+    """
+    R = cfg.num_rows
+
+    def cond(carry):
+        colour, kind, key, has_lines, top, shuffled, it = carry
+        return ((~possible_move(cfg, colour, kind)) | has_lines) & (
+            it < cfg.max_regen_iters
+        )
+
+    def body(carry):
+        colour, kind, key, has_lines, top, shuffled, it = carry
+        key, k = jax.random.split(key)
+
+        def reroll(args):
+            colour, kind, shuffled = args
+            bound = jnp.minimum(R - 1, top + 1)
+            grid = draw_colour_grid(k, cfg)
+            colour = apply_reroll_rows(colour, bound, grid)
+            return colour, kind, shuffled
+
+        def shuffle(args):
+            colour, kind, shuffled = args
+            perm = jax.random.permutation(k, cfg.flat_size).astype(jnp.int32)
+            colour, kind = apply_shuffle(colour, kind, perm)
+            return colour, kind, jnp.asarray(True)
+
+        colour, kind, shuffled = jax.lax.cond(
+            has_lines, reroll, shuffle, (colour, kind, shuffled)
+        )
+        has_lines, top = first_line_info(cfg, colour)
+        return colour, kind, key, has_lines, top, shuffled, it + 1
+
+    colour, kind, key, _, _, shuffled, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            colour,
+            kind,
+            key,
+            init_has_lines,
+            init_top,
+            jnp.asarray(False),
+            jnp.int32(0),
+        ),
+    )
+    return colour, kind, key, shuffled
+
+
+def generate_board(cfg: EnvConfig, key):
+    """`board.py:95-112`: fresh all-normal board, re-rolled/shuffled until
+    match-free with at least one effective move."""
+    key, k = jax.random.split(key)
+    colour = draw_colour_grid(k, cfg)
+    kind = jnp.ones((cfg.num_rows, cfg.num_cols), jnp.int32)
+    has_lines, top = first_line_info(cfg, colour)
+    colour, kind, key, _ = make_playable(cfg, colour, kind, key, has_lines, top)
+    return colour, kind, key
+
+
+def engine_move(cfg: EnvConfig, colour, kind, key, coord1, coord2, eff):
+    """``Board.move`` (`board.py:330-395`) minus the legality raise (the
+    action table only produces legal swaps; the Gym adapter validates).
+
+    Returns (colour, kind, key, eliminations, is_comb, new_specials,
+    activated, shuffled).
+    """
+    flat = cfg.flat_size
+
+    def no_op(args):
+        colour, kind, key = args
+        z = jnp.int32(0)
+        return colour, kind, key, z, jnp.asarray(False), z, z, jnp.asarray(False)
+
+    def do_move(args):
+        colour, kind, key = args
+        colour, kind = swap_cells(colour, kind, coord1, coord2)
+
+        comb = is_combination(kind, coord1, coord2)
+
+        def run_comb(args):
+            colour, kind, key = args
+            colour, kind, act = combination_match(cfg, colour, kind, coord1, coord2)
+            elim = flat - jnp.count_nonzero(kind).astype(jnp.int32)
+            colour, kind = gravity(colour, kind)
+            colour, kind, key = _refill_native(cfg, colour, kind, key)
+            return colour, kind, key, elim, act
+
+        def skip_comb(args):
+            colour, kind, key = args
+            return colour, kind, key, jnp.int32(0), jnp.int32(0)
+
+        colour, kind, key, elim, activated = jax.lax.cond(
+            comb, run_comb, skip_comb, (colour, kind, key)
+        )
+
+        # cascade: detect → resolve → gravity → refill until no matches
+        # (`board.py:367-376`), bounded by max_cascades.
+        def casc_cond(carry):
+            colour, kind, key, elim, activated, new, it = carry
+            return has_any_line(cfg, colour, kind) & (it < cfg.max_cascades)
+
+        def casc_body(carry):
+            colour, kind, key, elim, activated, new, it = carry
+            ls = get_colour_lines(cfg, colour, kind)
+            m = process_colour_lines(cfg, colour, ls)
+            colour, kind, act_d, new_d = resolve_colour_matches(
+                cfg, colour, kind, m
+            )
+            elim = elim + flat - jnp.count_nonzero(kind).astype(jnp.int32)
+            colour, kind = gravity(colour, kind)
+            colour, kind, key = _refill_native(cfg, colour, kind, key)
+            return colour, kind, key, elim, activated + act_d, new + new_d, it + 1
+
+        colour, kind, key, elim, activated, new, _ = jax.lax.while_loop(
+            casc_cond,
+            casc_body,
+            (colour, kind, key, elim, activated, jnp.int32(0), jnp.int32(0)),
+        )
+
+        # new specials filled holes → count as eliminations (`board.py:378`).
+        elim = elim + new
+
+        # playability loop (`board.py:381-391`): initial line state is empty.
+        colour, kind, key, shuffled = make_playable(
+            cfg, colour, kind, key, jnp.asarray(False), jnp.int32(0)
+        )
+        return colour, kind, key, elim, comb, new, activated, shuffled
+
+    return jax.lax.cond(eff, do_move, no_op, (colour, kind, key))
+
+
+def reset(cfg: EnvConfig, key) -> Tuple[EnvState, StepInfo]:
+    """``TileMatchEnv.reset`` (`tile_match_env.py:84-91`)."""
+    colour, kind, key = generate_board(cfg, key)
+    state = EnvState(colour=colour, kind=kind, timer=jnp.int32(0), key=key)
+    info = StepInfo(
+        is_combination_match=jnp.asarray(False),
+        num_new_specials=jnp.int32(0),
+        num_specials_activated=jnp.int32(0),
+        shuffled=jnp.asarray(False),
+        effective_actions=effective_mask(cfg, colour, kind),
+    )
+    return state, info
+
+
+def step(cfg: EnvConfig, state: EnvState, action) -> Tuple[
+    EnvState, jnp.ndarray, jnp.ndarray, StepInfo
+]:
+    """``TileMatchEnv.step`` (`tile_match_env.py:93-112`).
+
+    Returns (next_state, reward, done, info).  Reward is the raw elimination
+    count (`board.py:395` → `tile_match_env.py:112`).
+    """
+    c1_tab, c2_tab = action_table(cfg)
+    c1 = jnp.asarray(c1_tab)[action]
+    c2 = jnp.asarray(c2_tab)[action]
+
+    mask_before = effective_mask(cfg, state.colour, state.kind)
+    eff = mask_before[action]
+
+    colour, kind, key, elim, comb, new, act, shuffled = engine_move(
+        cfg, state.colour, state.kind, state.key, c1, c2, eff
+    )
+
+    timer = state.timer + 1
+    done = timer >= cfg.num_moves
+    next_state = EnvState(colour=colour, kind=kind, timer=timer, key=key)
+
+    # `tile_match_env.py:118-124`: effective actions are empty once the
+    # episode is over.
+    mask_after = jnp.where(
+        done,
+        jnp.zeros((cfg.num_actions,), bool),
+        effective_mask(cfg, colour, kind),
+    )
+    info = StepInfo(
+        is_combination_match=comb,
+        num_new_specials=new,
+        num_specials_activated=act,
+        shuffled=shuffled,
+        effective_actions=mask_after,
+    )
+    return next_state, elim, done, info
+
+
+def observe(cfg: EnvConfig, state: EnvState):
+    """Dict-style observation (`tile_match_env.py:114-115`)."""
+    return {
+        "board": state.board,
+        "num_moves_left": cfg.num_moves - state.timer,
+    }

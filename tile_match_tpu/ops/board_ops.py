@@ -82,9 +82,8 @@ def apply_reroll_rows(colour, bound_row, grid):
     cookies (a reference quirk we replicate for parity).  ``bound_row`` is
     dynamic; rows > bound_row keep their colours.
     """
-    R, _ = colour.shape
     row_ids = jax.lax.broadcasted_iota(jnp.int32, colour.shape, 0)
-    return jnp.where(row_ids <= bound_row, grid, colour), kind
+    return jnp.where(row_ids <= bound_row, grid, colour)
 
 
 def draw_colour_grid(key, cfg):

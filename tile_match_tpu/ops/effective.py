@@ -46,11 +46,13 @@ def _window_tables(cfg: EnvConfig):
     flat1 = c1[:, 0] * C + c1[:, 1]
     flat2 = c2[:, 0] * C + c2[:, 1]
     n_down = C * (R - 1)
+    # NOTE: cache numpy, not jnp — device constants created inside one jit
+    # trace must not leak into another.
     return (
-        jnp.asarray(flat, jnp.int32),
-        jnp.asarray(valid),
-        jnp.asarray(flat1, jnp.int32),
-        jnp.asarray(flat2, jnp.int32),
+        flat.astype(np.int32),
+        valid,
+        flat1.astype(np.int32),
+        flat2.astype(np.int32),
         n_down,
     )
 
@@ -71,7 +73,11 @@ def _swap_in_windows(w, n_down):
 
 def effective_mask(cfg: EnvConfig, colour, kind) -> jnp.ndarray:
     """bool[num_actions]: which swaps would do anything (`board.py:735-787`)."""
-    flat, valid, flat1, flat2, n_down = _window_tables(cfg)
+    flat_np, valid_np, flat1_np, flat2_np, n_down = _window_tables(cfg)
+    flat = jnp.asarray(flat_np)
+    valid = jnp.asarray(valid_np)
+    flat1 = jnp.asarray(flat1_np)
+    flat2 = jnp.asarray(flat2_np)
     colf = colour.reshape(-1)
     kinf = kind.reshape(-1)
 

@@ -166,6 +166,35 @@ def get_colour_lines(cfg: EnvConfig, colour, kind) -> LineSet:
     return LineSet(coords=coords, length=d_len, count=count)
 
 
+def first_line_info(cfg: EnvConfig, colour):
+    """(has_lines, top_row_of_first_line) without materialising the LineSet.
+
+    Used by the regenerate/playability loops, which only need
+    ``lines[0][0][0]`` (`board.py:126-129`): the first detected line is always
+    a primary one — vertical before horizontal at the same column — and its
+    first coordinate is its topmost/leftmost cell.
+    """
+    R, C = cfg.num_rows, cfg.num_cols
+    valid = colour > 0
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    _hs, _he, hl = colour_run_extents(colour, axis=1)
+    vs, ve, vl = colour_run_extents(colour, axis=0)
+    v_bottom3 = valid & (vl >= 3) & (ve == row_ids)
+    h_in3 = valid & (hl >= 3)
+    row_flag = jnp.any(h_in3, axis=1) | jnp.any(v_bottom3, axis=1)
+    exists = jnp.any(row_flag)
+    r0 = jnp.max(jnp.where(row_flag, jnp.arange(R, dtype=jnp.int32), -1))
+    sr0 = jnp.maximum(r0, 0)
+    cols = jnp.arange(C, dtype=jnp.int32)
+    vflag = v_bottom3[sr0]
+    hflag = h_in3[sr0] & (_hs[sr0] == cols)
+    pre_flag = jnp.stack([vflag, hflag], axis=1).reshape(-1)
+    pre_top = jnp.stack([vs[sr0], jnp.full((C,), 0, jnp.int32) + sr0], axis=1).reshape(-1)
+    first = jnp.argmax(pre_flag)
+    top = jnp.where(exists, pre_top[first], jnp.int32(0))
+    return exists, top
+
+
 def has_any_line(cfg: EnvConfig, colour, kind) -> jnp.ndarray:
     """Cheap predicate: does any colour line (>=3 run) exist anywhere?
 
