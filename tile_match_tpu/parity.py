@@ -109,6 +109,10 @@ class ParityEngine:
         self.num_specials_activated = 0
         self.num_new_specials = 0
 
+    def reseed(self, seed: int) -> None:
+        """`tile_match_env.py:79-82`: replace the board's generator."""
+        self.np_random = np.random.default_rng(seed)
+
     # -- helpers ------------------------------------------------------------
     def _set(self, colour, kind):
         self.colour = np.asarray(colour)
