@@ -11,7 +11,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.int32(1 << 30)
+# Large sentinel for masked argmin/argsort keys. Plain Python int: module
+# import must not touch a device (and jnp ops fold it into the program).
+BIG = 1 << 30
 
 
 def _iota_like(x, axis):
