@@ -1,0 +1,123 @@
+"""ctypes bindings for the native C++ engine (csrc/tmt_engine.cpp).
+
+The shared library is built on demand with g++ (no external deps) and cached
+next to the source.  The native engine is the host-side counterpart of the
+jitted kernels: CPU serving/data-generation and a fast differential oracle.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "..", "csrc", "tmt_engine.cpp")
+_LIB = os.path.join(_DIR, "..", "csrc", "libtmt.so")
+_lock = threading.Lock()
+_lib = None
+
+FLAG_COOKIE, FLAG_VLASER, FLAG_HLASER, FLAG_BOMB = 1, 2, 4, 8
+
+
+def _flags(cfg) -> int:
+    return (
+        (FLAG_COOKIE if cfg.cookie else 0)
+        | (FLAG_VLASER if cfg.vertical_laser else 0)
+        | (FLAG_HLASER if cfg.horizontal_laser else 0)
+        | (FLAG_BOMB if cfg.bomb else 0)
+    )
+
+
+def build(force: bool = False) -> str:
+    src = os.path.abspath(_SRC)
+    lib = os.path.abspath(_LIB)
+    if force or not os.path.exists(lib) or os.path.getmtime(lib) < os.path.getmtime(src):
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-std=c++17", "-o", lib, src,
+            ],
+            check=True,
+        )
+    return lib
+
+
+def load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        lib = ctypes.CDLL(build())
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        ip = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        ci = ctypes.c_int
+
+        lib.tmt_num_actions.argtypes = [ci, ci]
+        lib.tmt_num_actions.restype = ci
+        lib.tmt_effective_mask.argtypes = [i32p, i32p, ci, ci, u8p]
+        lib.tmt_gravity.argtypes = [i32p, i32p, ci, ci]
+        lib.tmt_apply_refill.argtypes = [i32p, i32p, i32p, ci, ci]
+        lib.tmt_swap.argtypes = [i32p, i32p, ci, ci, ci, ci, ci, ci]
+        lib.tmt_resolve_once.argtypes = [i32p, i32p, ci, ci, ci, ip]
+        lib.tmt_resolve_once.restype = ci
+        lib.tmt_is_combination.argtypes = [i32p, i32p, ci, ci, ci, ci, ci, ci]
+        lib.tmt_is_combination.restype = ci
+        lib.tmt_combination.argtypes = [i32p, i32p, ci, ci, ci, ci, ci, ci]
+        lib.tmt_combination.restype = ci
+        lib.tmt_move.argtypes = [
+            i32p, i32p, ci, ci, ci, ci, ci, ci, ci, ci, u64p, ip,
+        ]
+        lib.tmt_move.restype = ci
+        lib.tmt_generate.argtypes = [i32p, i32p, ci, ci, ci, ci, u64p]
+        lib.tmt_possible_move.argtypes = [i32p, i32p, ci, ci]
+        lib.tmt_possible_move.restype = ci
+        lib.tmt_has_any_line.argtypes = [i32p, i32p, ci, ci]
+        lib.tmt_has_any_line.restype = ci
+        _lib = lib
+        return lib
+
+
+class NativeEngine:
+    """Host-side engine with its own xorshift RNG stream (CPU counterpart of
+    the JAX engine's threefry mode)."""
+
+    def __init__(self, cfg, seed: int = 0):
+        self.cfg = cfg
+        self.lib = load()
+        self.colour = np.zeros((cfg.num_rows, cfg.num_cols), np.int32)
+        self.kind = np.ones((cfg.num_rows, cfg.num_cols), np.int32)
+        self.rng = np.array([seed * 2654435761 + 1], np.uint64)
+        self.flags = _flags(cfg)
+
+    def generate_board(self):
+        self.lib.tmt_generate(
+            self.colour, self.kind, self.cfg.num_rows, self.cfg.num_cols,
+            self.flags, self.cfg.num_colours, self.rng,
+        )
+
+    def effective_mask(self) -> np.ndarray:
+        out = np.zeros((self.cfg.num_actions,), np.uint8)
+        self.lib.tmt_effective_mask(
+            self.colour, self.kind, self.cfg.num_rows, self.cfg.num_cols, out
+        )
+        return out.astype(bool)
+
+    def move(self, coord1, coord2):
+        stats = np.zeros((4,), np.int32)
+        elim = self.lib.tmt_move(
+            self.colour, self.kind, self.cfg.num_rows, self.cfg.num_cols,
+            self.flags, self.cfg.num_colours,
+            int(coord1[0]), int(coord1[1]), int(coord2[0]), int(coord2[1]),
+            self.rng, stats,
+        )
+        return int(elim), bool(stats[0]), int(stats[1]), int(stats[2]), bool(stats[3])
+
+    @property
+    def board(self) -> np.ndarray:
+        return np.stack([self.colour, self.kind])
