@@ -197,19 +197,27 @@ def reset(cfg: EnvConfig, key) -> Tuple[EnvState, StepInfo]:
     return state, info
 
 
-def step(cfg: EnvConfig, state: EnvState, action) -> Tuple[
+def step(cfg: EnvConfig, state: EnvState, action, eff_mask=None) -> Tuple[
     EnvState, jnp.ndarray, jnp.ndarray, StepInfo
 ]:
     """``TileMatchEnv.step`` (`tile_match_env.py:93-112`).
 
     Returns (next_state, reward, done, info).  Reward is the raw elimination
     count (`board.py:395` → `tile_match_env.py:112`).
+
+    ``eff_mask``: optional precomputed effective-action mask for the CURRENT
+    state (the mask the previous step's info already carries) — passing it
+    avoids recomputing the largest kernel of the step twice per transition.
     """
     c1_tab, c2_tab = action_table(cfg)
     c1 = jnp.asarray(c1_tab)[action]
     c2 = jnp.asarray(c2_tab)[action]
 
-    mask_before = effective_mask(cfg, state.colour, state.kind)
+    mask_before = (
+        effective_mask(cfg, state.colour, state.kind)
+        if eff_mask is None
+        else eff_mask
+    )
     eff = mask_before[action]
 
     colour, kind, key, elim, comb, new, act, shuffled = engine_move(

@@ -31,8 +31,8 @@ class ThreefryDriver:
     def __init__(self, cfg: EnvConfig, seed):
         self.cfg = cfg
         self.key = jax.random.PRNGKey(0 if seed is None else seed)
-        self.colour = np.zeros((cfg.num_rows, cfg.num_cols), np.int32)
-        self.kind = np.ones((cfg.num_rows, cfg.num_cols), np.int32)
+        self._board = np.zeros((2, cfg.num_rows, cfg.num_cols), np.int32)
+        self._board[1] = 1
         self._gen, self._eff, self._mv = _fns(cfg)
         c1, c2 = action_table(cfg)
         self._c1, self._c2 = c1, c2
@@ -40,10 +40,18 @@ class ThreefryDriver:
     def reseed(self, seed: int) -> None:
         self.key = jax.random.PRNGKey(seed)
 
+    @property
+    def colour(self) -> np.ndarray:
+        return self._board[0]
+
+    @property
+    def kind(self) -> np.ndarray:
+        return self._board[1]
+
     def generate_board(self) -> None:
         colour, kind, key = self._gen(self.key)
-        self.colour = np.asarray(colour)
-        self.kind = np.asarray(kind)
+        self._board[0] = np.asarray(colour)
+        self._board[1] = np.asarray(kind)
         self.key = key
 
     def effective_mask(self) -> np.ndarray:
@@ -71,11 +79,12 @@ class ThreefryDriver:
             jnp.asarray(coord2, jnp.int32),
             eff,
         )
-        self.colour = np.asarray(colour)
-        self.kind = np.asarray(kind)
+        self._board[0] = np.asarray(colour)
+        self._board[1] = np.asarray(kind)
         self.key = key
         return int(elim), bool(comb), int(new), int(act), bool(shuf)
 
     @property
     def board(self) -> np.ndarray:
-        return np.stack([self.colour, self.kind])
+        """The live [2, R, C] buffer (mutations are honoured)."""
+        return self._board

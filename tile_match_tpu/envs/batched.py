@@ -44,7 +44,11 @@ def batched_reset(cfg: EnvConfig, key, batch_size: int) -> Tuple[EnvState, TimeS
 
 
 def batched_step(
-    cfg: EnvConfig, states: EnvState, actions, auto_reset: bool = True
+    cfg: EnvConfig,
+    states: EnvState,
+    actions,
+    auto_reset: bool = True,
+    eff_mask=None,
 ) -> Tuple[EnvState, TimeStep]:
     """Step every board; optionally regenerate finished episodes in place.
 
@@ -52,10 +56,18 @@ def batched_step(
     (new episode, timer 0) and the returned observation is the new episode's
     first observation — the standard vectorised-env convention; the terminal
     reward/done refer to the finishing episode.
+
+    ``eff_mask``: optional bool[B, A] — the previous TimeStep's
+    ``info.effective_actions`` — to skip recomputing the pre-move mask.
     """
-    next_states, rewards, dones, infos = jax.vmap(
-        lambda s, a: step(cfg, s, a)
-    )(states, actions)
+    if eff_mask is None:
+        next_states, rewards, dones, infos = jax.vmap(
+            lambda s, a: step(cfg, s, a)
+        )(states, actions)
+    else:
+        next_states, rewards, dones, infos = jax.vmap(
+            lambda s, a, m: step(cfg, s, a, eff_mask=m)
+        )(states, actions, eff_mask)
 
     if auto_reset:
 
@@ -113,7 +125,10 @@ def rollout(
         states, ts, key = carry
         key, ka = jax.random.split(key)
         actions = policy(ka, ts)
-        states, ts = batched_step(cfg, states, actions, auto_reset=auto_reset)
+        states, ts = batched_step(
+            cfg, states, actions, auto_reset=auto_reset,
+            eff_mask=ts.info.effective_actions,
+        )
         return (states, ts, key), (ts.reward, ts.done)
 
     (states, ts, _), (rewards, dones) = jax.lax.scan(

@@ -134,7 +134,9 @@ def make_dqn(
             state.params, state.obs_planes, state.obs_moves, state.eff_mask,
             k_act, epsilon,
         )
-        env_states, ts = batched_step(cfg, state.env_states, actions)
+        env_states, ts = batched_step(
+            cfg, state.env_states, actions, eff_mask=state.eff_mask
+        )
         nplanes, nmoves = _encode(cfg, env_states)
         # reward scale: proportional reward (`wrappers.py:71-77`)
         rewards = ts.reward / cfg.flat_size

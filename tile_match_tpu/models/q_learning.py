@@ -142,7 +142,7 @@ def _dense_fns(cfg: EnvConfig, batch_size: int, lr: float, gamma: float,
         acts = jnp.where(any_eff, jnp.where(explore, rand_a, greedy), 0)
         acts = acts.astype(jnp.int32)
 
-        nstates, ts = batched_step(cfg, states, acts)
+        nstates, ts = batched_step(cfg, states, acts, eff_mask=mask)
         reward = ts.reward / cfg.flat_size
         ns_idx = _pack_state(cfg, nstates.colour, cfg.num_moves - nstates.timer)
         nq_max = jnp.max(

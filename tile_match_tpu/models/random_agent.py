@@ -34,7 +34,7 @@ def _fns(cfg: EnvConfig, batch_size: int, use_effective: bool):
             ).astype(jnp.int32)
         else:
             acts = jax.random.randint(ka, mask.shape[:1], 0, cfg.num_actions)
-        states, ts = batched_step(cfg, states, acts)
+        states, ts = batched_step(cfg, states, acts, eff_mask=mask)
         n_eff = mask.sum(-1)
         return states, ts.info.effective_actions, ts.reward, ts.done, n_eff, key
 

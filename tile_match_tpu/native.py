@@ -90,10 +90,18 @@ class NativeEngine:
     def __init__(self, cfg, seed: int = 0):
         self.cfg = cfg
         self.lib = load()
-        self.colour = np.zeros((cfg.num_rows, cfg.num_cols), np.int32)
-        self.kind = np.ones((cfg.num_rows, cfg.num_cols), np.int32)
+        self._board = np.zeros((2, cfg.num_rows, cfg.num_cols), np.int32)
+        self._board[1] = 1
         self.rng = np.array([seed * 2654435761 + 1], np.uint64)
         self.flags = _flags(cfg)
+
+    @property
+    def colour(self) -> np.ndarray:
+        return self._board[0]
+
+    @property
+    def kind(self) -> np.ndarray:
+        return self._board[1]
 
     def generate_board(self):
         self.lib.tmt_generate(
@@ -120,4 +128,5 @@ class NativeEngine:
 
     @property
     def board(self) -> np.ndarray:
-        return np.stack([self.colour, self.kind])
+        """The live [2, R, C] buffer (mutations are honoured)."""
+        return self._board

@@ -76,7 +76,7 @@ def sharded_rollout(
                 jax.random.categorical(ka, logits, axis=-1),
                 0,
             ).astype(jnp.int32)
-            states, ts = batched_step(cfg, states, acts)
+            states, ts = batched_step(cfg, states, acts, eff_mask=mask)
             return (states, ts, key, total + ts.reward.sum()), None
 
         (states, ts, _, total), _ = jax.lax.scan(

@@ -102,8 +102,11 @@ class ParityEngine:
         self.cfg = cfg
         self.np_random = np_random
         self.k = _kernels(cfg)
-        self.colour = np.zeros((cfg.num_rows, cfg.num_cols), np.int32)
-        self.kind = np.ones((cfg.num_rows, cfg.num_cols), np.int32)
+        # one live [2, R, C] buffer; colour/kind are views into it, so
+        # reference-style in-place mutation (``env.board.board[0] = ...``,
+        # as in the reference's own tests) is fully supported.
+        self._board = np.zeros((2, cfg.num_rows, cfg.num_cols), np.int32)
+        self._board[1] = 1
         c1, c2 = action_table(cfg)
         self._c1, self._c2 = c1, c2
         self.num_specials_activated = 0
@@ -114,9 +117,17 @@ class ParityEngine:
         self.np_random = np.random.default_rng(seed)
 
     # -- helpers ------------------------------------------------------------
+    @property
+    def colour(self) -> np.ndarray:
+        return self._board[0]
+
+    @property
+    def kind(self) -> np.ndarray:
+        return self._board[1]
+
     def _set(self, colour, kind):
-        self.colour = np.asarray(colour)
-        self.kind = np.asarray(kind)
+        self._board[0] = np.asarray(colour)
+        self._board[1] = np.asarray(kind)
 
     def effective_mask(self) -> np.ndarray:
         return np.asarray(self.k["effective"](self.colour, self.kind))
@@ -159,7 +170,7 @@ class ParityEngine:
             vals = self._draw_grid((bound + 1) * self.cfg.num_cols)
             grid = np.zeros_like(self.colour)
             grid[: bound + 1, :] = vals.reshape(bound + 1, self.cfg.num_cols)
-            self.colour = np.asarray(self.k["reroll"](self.colour, bound, grid))
+            self._board[0] = np.asarray(self.k["reroll"](self.colour, bound, grid))
             has, top = self._line_info()
 
     def _playability_loop(self, has_lines, top):
@@ -177,10 +188,9 @@ class ParityEngine:
     # -- public API ---------------------------------------------------------
     def generate_board(self):
         """`board.py:95-112`."""
-        self.kind = np.ones((self.cfg.num_rows, self.cfg.num_cols), np.int32)
-        self.colour = (
-            self._draw_grid(self.cfg.flat_size)
-            .reshape(self.cfg.num_rows, self.cfg.num_cols)
+        self._board[1] = 1
+        self._board[0] = self._draw_grid(self.cfg.flat_size).reshape(
+            self.cfg.num_rows, self.cfg.num_cols
         )
         has, top = self._line_info()
         self._playability_loop(has, top)
@@ -259,4 +269,5 @@ class ParityEngine:
 
     @property
     def board(self) -> np.ndarray:
-        return np.stack([self.colour, self.kind])
+        """The live [2, R, C] buffer (mutations are honoured)."""
+        return self._board

@@ -51,7 +51,7 @@ def measure_throughput(
         acts = jnp.where(
             mask.any(-1), jax.random.categorical(ka, logits, axis=-1), 0
         ).astype(jnp.int32)
-        states, ts = batched_step(cfg, states, acts)
+        states, ts = batched_step(cfg, states, acts, eff_mask=mask)
         return states, ts.info.effective_actions, ts.reward.sum(), key
 
     states, ts = jax.jit(lambda k: batched_reset(cfg, k, batch_size))(
