@@ -747,3 +747,45 @@ int tmt_has_any_line(int32_t* colour, int32_t* kind, int R, int C) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched API — env-pool-style CPU stepping (OpenMP across boards).
+// colour/kind: int32[B, R, C]; actions: int32[B]; rng: uint64[B];
+// rewards/stats out: int32[B] / int32[B, 4].  Auto-resets finished episodes.
+// ---------------------------------------------------------------------------
+extern "C" {
+
+void tmt_batch_generate(int32_t* colour, int32_t* kind, int B, int R, int C,
+                        int flags, int num_colours, uint64_t* rng_states) {
+#pragma omp parallel for schedule(dynamic)
+  for (int b = 0; b < B; ++b)
+    tmt_generate(colour + (size_t)b * R * C, kind + (size_t)b * R * C, R, C,
+                 flags, num_colours, rng_states + b);
+}
+
+void tmt_batch_move(int32_t* colour, int32_t* kind, int B, int R, int C,
+                    int flags, int num_colours, const int32_t* actions,
+                    uint64_t* rng_states, int32_t* rewards,
+                    int32_t* stats /* [B,4] */) {
+#pragma omp parallel for schedule(dynamic)
+  for (int b = 0; b < B; ++b) {
+    int r1, c1, r2, c2;
+    action_coords(R, C, actions[b], &r1, &c1, &r2, &c2);
+    int st[4];
+    rewards[b] = tmt_move(colour + (size_t)b * R * C,
+                          kind + (size_t)b * R * C, R, C, flags, num_colours,
+                          r1, c1, r2, c2, rng_states + b, st);
+    for (int i = 0; i < 4; ++i) stats[b * 4 + i] = st[i];
+  }
+}
+
+void tmt_batch_effective_mask(int32_t* colour, int32_t* kind, int B, int R,
+                              int C, uint8_t* out /* [B, A] */) {
+  int A = tmt_num_actions(R, C);
+#pragma omp parallel for schedule(static)
+  for (int b = 0; b < B; ++b)
+    tmt_effective_mask(colour + (size_t)b * R * C, kind + (size_t)b * R * C,
+                       R, C, out + (size_t)b * A);
+}
+
+}  // extern "C"

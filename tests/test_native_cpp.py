@@ -169,3 +169,40 @@ def test_native_engine_throughput_sanity():
         n += 1
     sps = n / (time.perf_counter() - t0)
     assert sps > 300, f"native engine too slow: {sps:.0f} steps/s"
+
+
+def test_native_batch_engine():
+    import time
+
+    from tile_match_tpu.native import NativeBatchEngine
+
+    cfg = EnvConfig(10, 10, 4, 10)
+    env = NativeBatchEngine(cfg, batch_size=64, seed=5)
+    mask = env.reset()
+    assert mask.shape == (64, cfg.num_actions)
+    assert mask.any(axis=1).all()
+    rng = np.random.default_rng(0)
+    total = np.zeros(64)
+    for t in range(12):
+        acts = np.array(
+            [np.random.default_rng(t * 64 + i).choice(np.nonzero(m)[0])
+             for i, m in enumerate(mask)],
+            np.int32,
+        )
+        rewards, dones, stats = env.step(acts)
+        assert (rewards >= 3).all()
+        total += rewards
+        mask = env.effective_mask()
+        assert mask.any(axis=1).all()  # auto-reset keeps boards playable
+    assert (total > 0).all()
+
+    # throughput: OpenMP batch should clear 10k steps/s easily
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 1.0:
+        acts = np.argmax(mask, axis=1).astype(np.int32)
+        env.step(acts)
+        mask = env.effective_mask()
+        n += 64
+    sps = n / (time.perf_counter() - t0)
+    assert sps > 3000, f"batch native engine too slow: {sps:.0f}"

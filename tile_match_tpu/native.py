@@ -38,8 +38,8 @@ def build(force: bool = False) -> str:
     if force or not os.path.exists(lib) or os.path.getmtime(lib) < os.path.getmtime(src):
         subprocess.run(
             [
-                "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                "-std=c++17", "-o", lib, src,
+                "g++", "-O3", "-march=native", "-fopenmp", "-shared",
+                "-fPIC", "-std=c++17", "-o", lib, src,
             ],
             check=True,
         )
@@ -79,6 +79,11 @@ def load():
         lib.tmt_possible_move.restype = ci
         lib.tmt_has_any_line.argtypes = [i32p, i32p, ci, ci]
         lib.tmt_has_any_line.restype = ci
+        lib.tmt_batch_generate.argtypes = [i32p, i32p, ci, ci, ci, ci, ci, u64p]
+        lib.tmt_batch_move.argtypes = [
+            i32p, i32p, ci, ci, ci, ci, ci, i32p, u64p, i32p, i32p,
+        ]
+        lib.tmt_batch_effective_mask.argtypes = [i32p, i32p, ci, ci, ci, u8p]
         _lib = lib
         return lib
 
@@ -130,3 +135,67 @@ class NativeEngine:
     def board(self) -> np.ndarray:
         """The live [2, R, C] buffer (mutations are honoured)."""
         return self._board
+
+
+class NativeBatchEngine:
+    """Env-pool-style CPU batch: B independent boards stepped with OpenMP.
+
+    The CPU counterpart of envs/batched.py — auto-reset, per-board xorshift
+    streams, reference-layout stats.
+    """
+
+    def __init__(self, cfg, batch_size: int, seed: int = 0):
+        self.cfg = cfg
+        self.B = batch_size
+        self.lib = load()
+        self.flags = _flags(cfg)
+        R, C = cfg.num_rows, cfg.num_cols
+        self.colour = np.zeros((batch_size, R, C), np.int32)
+        self.kind = np.ones((batch_size, R, C), np.int32)
+        self.timer = np.zeros((batch_size,), np.int32)
+        self.rng = (
+            np.arange(1, batch_size + 1, dtype=np.uint64) * np.uint64(2654435761)
+            + np.uint64(seed * 97 + 1)
+        )
+
+    def reset(self) -> np.ndarray:
+        self.lib.tmt_batch_generate(
+            self.colour, self.kind, self.B, self.cfg.num_rows,
+            self.cfg.num_cols, self.flags, self.cfg.num_colours, self.rng,
+        )
+        self.timer[:] = 0
+        return self.effective_mask()
+
+    def effective_mask(self) -> np.ndarray:
+        out = np.zeros((self.B, self.cfg.num_actions), np.uint8)
+        self.lib.tmt_batch_effective_mask(
+            self.colour, self.kind, self.B, self.cfg.num_rows,
+            self.cfg.num_cols, out,
+        )
+        return out.astype(bool)
+
+    def step(self, actions: np.ndarray):
+        """Returns (rewards, dones, stats[B,4]); auto-resets finished boards."""
+        rewards = np.zeros((self.B,), np.int32)
+        stats = np.zeros((self.B, 4), np.int32)
+        self.lib.tmt_batch_move(
+            self.colour, self.kind, self.B, self.cfg.num_rows,
+            self.cfg.num_cols, self.flags, self.cfg.num_colours,
+            np.ascontiguousarray(actions, np.int32), self.rng, rewards, stats,
+        )
+        self.timer += 1
+        dones = self.timer >= self.cfg.num_moves
+        if dones.any():
+            idx = np.nonzero(dones)[0].astype(np.int32)
+            sub_c = np.ascontiguousarray(self.colour[idx])
+            sub_k = np.ascontiguousarray(self.kind[idx])
+            sub_r = np.ascontiguousarray(self.rng[idx])
+            self.lib.tmt_batch_generate(
+                sub_c, sub_k, len(idx), self.cfg.num_rows, self.cfg.num_cols,
+                self.flags, self.cfg.num_colours, sub_r,
+            )
+            self.colour[idx] = sub_c
+            self.kind[idx] = sub_k
+            self.rng[idx] = sub_r
+            self.timer[idx] = 0
+        return rewards, dones, stats
