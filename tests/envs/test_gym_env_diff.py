@@ -99,3 +99,10 @@ def test_threefry_mode_smoke():
         total += r
     assert total > 0
     assert info["effective_actions"] == []
+
+
+def test_gymnasium_check_env():
+    from gymnasium.utils.env_checker import check_env
+
+    env = TileMatchEnv(5, 5, 3, 5, *ALL_SPECIALS, seed=0)
+    check_env(env, skip_render_check=True)

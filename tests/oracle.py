@@ -8,10 +8,18 @@ never as a source of code.
 
 from __future__ import annotations
 
+import os
 import sys
 import types
 
+import pytest
+
 REF_PATH = "/root/reference/src"
+
+
+def _require_reference():
+    if not os.path.isdir(REF_PATH):
+        pytest.skip("reference implementation not mounted at /root/reference")
 
 
 def _install_numba_shim() -> None:
@@ -35,6 +43,7 @@ def _install_numba_shim() -> None:
 
 
 def get_ref_board_module():
+    _require_reference()
     _install_numba_shim()
     if REF_PATH not in sys.path:
         sys.path.insert(0, REF_PATH)
@@ -44,6 +53,7 @@ def get_ref_board_module():
 
 
 def get_ref_env_module():
+    _require_reference()
     _install_numba_shim()
     if REF_PATH not in sys.path:
         sys.path.insert(0, REF_PATH)

@@ -140,6 +140,9 @@ class TileMatchEnv(gym.Env):
     ) -> Tuple[dict, dict]:
         if seed is not None:
             self.set_seed(seed)
+        # gym.Env bookkeeping (sets self.np_random); the engine keeps its own
+        # generator so trajectories are unaffected.
+        super().reset(seed=seed)
         self.engine.generate_board()
         self.timer = 0
         return self._get_obs(), {
