@@ -197,9 +197,13 @@ def reset(cfg: EnvConfig, key) -> Tuple[EnvState, StepInfo]:
     return state, info
 
 
-def step(cfg: EnvConfig, state: EnvState, action, eff_mask=None) -> Tuple[
-    EnvState, jnp.ndarray, jnp.ndarray, StepInfo
-]:
+def step(
+    cfg: EnvConfig,
+    state: EnvState,
+    action,
+    eff_mask=None,
+    compute_post_mask: bool = True,
+) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray, StepInfo]:
     """``TileMatchEnv.step`` (`tile_match_env.py:93-112`).
 
     Returns (next_state, reward, done, info).  Reward is the raw elimination
@@ -208,6 +212,10 @@ def step(cfg: EnvConfig, state: EnvState, action, eff_mask=None) -> Tuple[
     ``eff_mask``: optional precomputed effective-action mask for the CURRENT
     state (the mask the previous step's info already carries) — passing it
     avoids recomputing the largest kernel of the step twice per transition.
+
+    ``compute_post_mask``: static; when False the returned
+    ``info.effective_actions`` is all-zero (used by the auto-resetting
+    batched env, which recomputes the mask on the post-reset states instead).
     """
     c1_tab, c2_tab = action_table(cfg)
     c1 = jnp.asarray(c1_tab)[action]
@@ -230,11 +238,14 @@ def step(cfg: EnvConfig, state: EnvState, action, eff_mask=None) -> Tuple[
 
     # `tile_match_env.py:118-124`: effective actions are empty once the
     # episode is over.
-    mask_after = jnp.where(
-        done,
-        jnp.zeros((cfg.num_actions,), bool),
-        effective_mask(cfg, colour, kind),
-    )
+    if compute_post_mask:
+        mask_after = jnp.where(
+            done,
+            jnp.zeros((cfg.num_actions,), bool),
+            effective_mask(cfg, colour, kind),
+        )
+    else:
+        mask_after = jnp.zeros((cfg.num_actions,), bool)
     info = StepInfo(
         is_combination_match=comb,
         num_new_specials=new,

@@ -60,13 +60,18 @@ def batched_step(
     ``eff_mask``: optional bool[B, A] — the previous TimeStep's
     ``info.effective_actions`` — to skip recomputing the pre-move mask.
     """
+    # With auto_reset the post-step mask must describe the POST-RESET board
+    # (the returned obs is the new episode's first obs), so the mask is
+    # computed once after resets rather than inside step().
     if eff_mask is None:
         next_states, rewards, dones, infos = jax.vmap(
-            lambda s, a: step(cfg, s, a)
+            lambda s, a: step(cfg, s, a, compute_post_mask=not auto_reset)
         )(states, actions)
     else:
         next_states, rewards, dones, infos = jax.vmap(
-            lambda s, a, m: step(cfg, s, a, eff_mask=m)
+            lambda s, a, m: step(
+                cfg, s, a, eff_mask=m, compute_post_mask=not auto_reset
+            )
         )(states, actions, eff_mask)
 
     if auto_reset:
@@ -82,6 +87,10 @@ def batched_step(
             return jax.lax.cond(d, regen, lambda s: s, s)
 
         next_states = jax.vmap(maybe_reset)(next_states, dones)
+        from ..ops.effective import effective_mask as _eff  # local import
+
+        post_mask = jax.vmap(lambda s: _eff(cfg, s.colour, s.kind))(next_states)
+        infos = infos.replace(effective_actions=post_mask)
 
     ts = TimeStep(
         obs_board=jnp.stack([next_states.colour, next_states.kind], axis=1),
