@@ -129,23 +129,31 @@ def engine_move(cfg: EnvConfig, colour, kind, key, coord1, coord2, eff):
         colour, kind, key = args
         colour, kind = swap_cells(colour, kind, coord1, coord2)
 
-        comb = is_combination(kind, coord1, coord2)
+        if cfg.any_special:
+            comb = is_combination(kind, coord1, coord2)
 
-        def run_comb(args):
-            colour, kind, key = args
-            colour, kind, act = combination_match(cfg, colour, kind, coord1, coord2)
-            elim = flat - jnp.count_nonzero(kind).astype(jnp.int32)
-            colour, kind = gravity(colour, kind)
-            colour, kind, key = _refill_native(cfg, colour, kind, key)
-            return colour, kind, key, elim, act
+            def run_comb(args):
+                colour, kind, key = args
+                colour, kind, act = combination_match(
+                    cfg, colour, kind, coord1, coord2
+                )
+                elim = flat - jnp.count_nonzero(kind).astype(jnp.int32)
+                colour, kind = gravity(colour, kind)
+                colour, kind, key = _refill_native(cfg, colour, kind, key)
+                return colour, kind, key, elim, act
 
-        def skip_comb(args):
-            colour, kind, key = args
-            return colour, kind, key, jnp.int32(0), jnp.int32(0)
+            def skip_comb(args):
+                colour, kind, key = args
+                return colour, kind, key, jnp.int32(0), jnp.int32(0)
 
-        colour, kind, key, elim, activated = jax.lax.cond(
-            comb, run_comb, skip_comb, (colour, kind, key)
-        )
+            colour, kind, key, elim, activated = jax.lax.cond(
+                comb, run_comb, skip_comb, (colour, kind, key)
+            )
+        else:
+            # no specials can ever exist on the board → no combinations
+            comb = jnp.asarray(False)
+            elim = jnp.int32(0)
+            activated = jnp.int32(0)
 
         # cascade: detect → resolve → gravity → refill until no matches
         # (`board.py:367-376`), bounded by max_cascades.

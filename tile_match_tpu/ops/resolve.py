@@ -24,6 +24,26 @@ from .classify import Matches
 from .runs import BIG
 
 
+def _resolve_all_normal(cfg: EnvConfig, colour, kind, matches: Matches):
+    """No-specials fast path: delete every matched coordinate."""
+    R, C = cfg.num_rows, cfg.num_cols
+    MM, CM = matches.coords.shape[0], matches.coords.shape[1]
+    jj = jnp.arange(CM, dtype=jnp.int32)[None, :]
+    mm = jnp.arange(MM, dtype=jnp.int32)[:, None]
+    live = (jj < matches.length[:, None]) & (mm < matches.count)
+    rs = jnp.where(live, jnp.clip(matches.coords[..., 0], 0, R), R)
+    cs = jnp.where(live, jnp.clip(matches.coords[..., 1], 0, C), C)
+    mask = (
+        jnp.zeros((R + 1, C + 1), bool).at[rs, cs].set(True)[:R, :C]
+    )
+    return (
+        jnp.where(mask, 0, colour),
+        jnp.where(mask, 0, kind),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+
+
 def _creation_pos(cfg: EnvConfig, match_coords, n, is_bomb, taken):
     """One match's special-creation coordinate (`board.py:429-458`).
 
@@ -76,7 +96,15 @@ def resolve_colour_matches(cfg: EnvConfig, colour, kind, matches: Matches):
     """Full resolution of one cascade iteration's matches.
 
     Returns (colour, kind, num_specials_activated_delta, num_new_specials_delta).
+
+    With every special disabled (static), resolution degenerates exactly to
+    "delete the union of all match coordinates": no creation queue, no
+    activation chains, no stats — so the whole driver/machine is skipped at
+    trace time (classification emits only whole normal lines then, and the
+    union of match coords equals the union of line coords).
     """
+    if not cfg.any_special:
+        return _resolve_all_normal(cfg, colour, kind, matches)
     R, C = cfg.num_rows, cfg.num_cols
     MM = matches.coords.shape[0]
     CM = cfg.match_coords_max
