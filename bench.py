@@ -1,11 +1,12 @@
 """Benchmark: batched env-steps/s on the default JAX device.
 
-Protocol: jitted fused (policy + batched step) called in a host loop with
-async dispatch — one device program per env step for the whole batch, no
-host transfers inside the loop.  Config: 10x10 board, 4 colours, full
-specials (README config, BASELINE.json config #4), auto-reset, random
-effective-action policy (every step includes the full effective-action mask,
-cascades, specials, shuffles).
+Protocol: one jitted program scans CHUNK full env steps for the whole batch
+(the framework's device-side rollout path — `envs.batched.rollout`), called
+in a host loop with async dispatch and no host transfers.  Every scanned
+step does the complete per-step work: masked random-effective policy,
+effective-action mask, swap, combination branch, cascades with specials,
+gravity/refill, playability shuffles, auto-reset.  Config: 10x10 board, 4
+colours, full specials (README config, BASELINE.json config #4).
 
 Robustness: the axon TPU tunnel's device claim fails transiently — on a
 backend-init failure the script re-execs itself (fresh claim) a few times;
@@ -36,8 +37,9 @@ BASELINE_CACHE = os.path.join(_DIR, "bench_baseline.json")
 JAX_CACHE = os.path.join(_DIR, ".jax_cache")
 
 R, C, K, MOVES = 10, 10, 4, 30
-BATCH = int(os.environ.get("TMT_BENCH_BATCH", "1024"))
-STEPS = int(os.environ.get("TMT_BENCH_STEPS", "32"))
+BATCH = int(os.environ.get("TMT_BENCH_BATCH", "16384"))
+CHUNK = int(os.environ.get("TMT_BENCH_CHUNK", "16"))
+STEPS = int(os.environ.get("TMT_BENCH_STEPS", "4"))
 REPS = int(os.environ.get("TMT_BENCH_REPS", "3"))
 MAX_RETRIES = int(os.environ.get("TMT_BENCH_RETRIES", "4"))
 
@@ -119,7 +121,7 @@ def _device_ok() -> bool:
         return False
 
 
-def measure_ours(batch: int, steps: int, reps: int) -> float:
+def measure_ours(batch: int, chunk: int, steps: int, reps: int) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -133,33 +135,44 @@ def measure_ours(batch: int, steps: int, reps: int) -> float:
 
     cfg = EnvConfig(R, C, K, MOVES)
 
+    # One dispatch = `chunk` full env steps scanned on device (the product
+    # rollout path): dispatch overhead amortises while every step still does
+    # the complete work — policy from the effective mask, swap, cascades,
+    # specials, shuffles, auto-reset, and the next bool[A] mask.
     @jax.jit
-    def step_random(states, mask, key):
-        key, ka = jax.random.split(key)
-        logits = jnp.where(mask, 0.0, -jnp.inf)
-        acts = jnp.where(
-            mask.any(-1), jax.random.categorical(ka, logits, axis=-1), 0
-        ).astype(jnp.int32)
-        states, ts = batched_step(cfg, states, acts, eff_mask=mask)
-        return states, ts.info.effective_actions, ts.reward.sum(), key
+    def run_chunk(states, mask, key):
+        def body(carry, _):
+            states, mask, key = carry
+            key, ka = jax.random.split(key)
+            logits = jnp.where(mask, 0.0, -jnp.inf)
+            acts = jnp.where(
+                mask.any(-1), jax.random.categorical(ka, logits, axis=-1), 0
+            ).astype(jnp.int32)
+            states, ts = batched_step(cfg, states, acts, eff_mask=mask)
+            return (states, ts.info.effective_actions, key), ts.reward.sum()
+
+        (states, mask, key), rs = jax.lax.scan(
+            body, (states, mask, key), None, length=chunk
+        )
+        return states, mask, rs.sum(), key
 
     states, ts = jax.jit(lambda k: batched_reset(cfg, k, batch))(
         jax.random.PRNGKey(0)
     )
     mask = ts.info.effective_actions
     key = jax.random.PRNGKey(1)
-    # compile + one warm step
-    states, mask, r, key = step_random(states, mask, key)
+    # compile + one warm chunk
+    states, mask, r, key = run_chunk(states, mask, key)
     jax.block_until_ready(r)
 
     best = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
-            states, mask, r, key = step_random(states, mask, key)
+            states, mask, r, key = run_chunk(states, mask, key)
         jax.block_until_ready(r)
         dt = time.perf_counter() - t0
-        best = max(best, batch * steps / dt)
+        best = max(best, batch * chunk * steps / dt)
     return best
 
 
@@ -176,9 +189,14 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
+    # CPU fallback shrinks the workload unless the user pinned it explicitly.
+    on_cpu = os.environ.get("JAX_PLATFORMS") == "cpu"
+    batch = int(os.environ.get("TMT_BENCH_BATCH", "128" if on_cpu else str(BATCH)))
+    chunk = int(os.environ.get("TMT_BENCH_CHUNK", "4" if on_cpu else str(CHUNK)))
+    steps = int(os.environ.get("TMT_BENCH_STEPS", "2" if on_cpu else str(STEPS)))
     try:
-        sps = measure_ours(BATCH, STEPS, REPS)
-        label = f"b{BATCH}"
+        sps = measure_ours(batch, chunk, steps, REPS)
+        label = f"b{batch}"
     except Exception:
         if attempt < MAX_RETRIES:
             time.sleep(30 * (attempt + 1))

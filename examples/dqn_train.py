@@ -11,6 +11,10 @@ import argparse
 import json
 
 import jax
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 
 def main():

@@ -8,6 +8,11 @@ import argparse
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from tile_match_tpu.envs.gym_env import TileMatchEnv
 
 

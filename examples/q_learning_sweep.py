@@ -15,6 +15,9 @@ import json
 import os
 
 import numpy as np
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 
 def execute_run(eps_decay_frac, gamma, lr, seed, num_episodes, out_root):

@@ -12,6 +12,11 @@ import json
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from tile_match_tpu.config import EnvConfig
 from tile_match_tpu.models.random_agent import run_random, save_results
 

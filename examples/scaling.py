@@ -16,6 +16,11 @@ import time
 
 import jax
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from tile_match_tpu.config import EnvConfig
 from tile_match_tpu.parallel.sharding import make_mesh, sharded_rollout
 

@@ -28,29 +28,59 @@ from ..state import action_table
 
 @functools.lru_cache(maxsize=None)
 def _window_tables(cfg: EnvConfig):
-    """Static per-action 6x6 window gather indices + validity masks."""
+    """Static gather/compare tables, laid out **actions-on-lanes**.
+
+    Each action's clipped 6x6 window is flattened to 36 positions and stored
+    as column `a` of a [36, A] table, so the per-board gathered windows are
+    [36, A] (A ≈ 2RC on the 128-lane axis) instead of [A, 6, 6] — the latter
+    tiles as T(8,128) over the trailing 6x6 and pads 28x, which both blew HBM
+    at large batch*scan and wasted >95% of every vector op.
+
+    The 48 possible 3-runs inside a 6x6 window (24 horizontal + 24 vertical)
+    become static index triples (a, b, c) into the 36 axis, with their
+    validity (in-board and in the reference's clipped [min-2, max+2] window,
+    `board.py:747-756`) precomputed per (triple, action).
+    """
     R, C = cfg.num_rows, cfg.num_cols
     c1, c2 = action_table(cfg)
+    A = len(c1)
     r_lo = np.minimum(c1[:, 0], c2[:, 0]) - 2
     c_lo = np.minimum(c1[:, 1], c2[:, 1]) - 2
     r_hi = np.maximum(c1[:, 0], c2[:, 0]) + 2
     c_hi = np.maximum(c1[:, 1], c2[:, 1]) + 2
     rows = r_lo[:, None, None] + np.arange(6)[None, :, None]
     cols = c_lo[:, None, None] + np.arange(6)[None, None, :]
-    rows = np.broadcast_to(rows, rows.shape[:1] + (6, 6))
-    cols = np.broadcast_to(cols, cols.shape[:1] + (6, 6))
+    rows = np.broadcast_to(rows, (A, 6, 6))
+    cols = np.broadcast_to(cols, (A, 6, 6))
     in_board = (rows >= 0) & (rows < R) & (cols >= 0) & (cols < C)
     in_win = (rows <= r_hi[:, None, None]) & (cols <= c_hi[:, None, None])
-    valid = in_board & in_win
-    flat = np.clip(rows, 0, R - 1) * C + np.clip(cols, 0, C - 1)
+    valid = (in_board & in_win).reshape(A, 36)
+    flat = (np.clip(rows, 0, R - 1) * C + np.clip(cols, 0, C - 1)).reshape(A, 36)
+
+    # 3-run triples over the 6x6 window, as flat positions in 0..35.
+    tri = []
+    for i in range(6):
+        for j in range(4):
+            p = i * 6 + j
+            tri.append((p, p + 1, p + 2))  # horizontal
+    for i in range(4):
+        for j in range(6):
+            p = i * 6 + j
+            tri.append((p, p + 6, p + 12))  # vertical
+    tri = np.asarray(tri, np.int32)  # [48, 3]
+    valid_tri = (
+        valid[:, tri[:, 0]] & valid[:, tri[:, 1]] & valid[:, tri[:, 2]]
+    ).T  # [48, A]
+
     flat1 = c1[:, 0] * C + c1[:, 1]
     flat2 = c2[:, 0] * C + c2[:, 1]
     n_down = C * (R - 1)
     # NOTE: cache numpy, not jnp — device constants created inside one jit
     # trace must not leak into another.
     return (
-        flat.astype(np.int32),
-        valid,
+        np.ascontiguousarray(flat.T.astype(np.int32)),  # [36, A]
+        valid_tri,  # [48, A]
+        tri,  # [48, 3]
         flat1.astype(np.int32),
         flat2.astype(np.int32),
         n_down,
@@ -58,24 +88,25 @@ def _window_tables(cfg: EnvConfig):
 
 
 def _swap_in_windows(w, n_down):
-    """Exchange the two swapped cells inside each window.
+    """Exchange the two swapped cells inside each [36, A] window table.
 
-    coord1 sits at window position (2,2) for every action; coord2 at (3,2)
-    for down-swaps (the first n_down actions) and (2,3) for right-swaps.
+    coord1 sits at window position (2,2)=14 for every action; coord2 at
+    (3,2)=20 for down-swaps (the first n_down actions) and (2,3)=15 for
+    right-swaps.
     """
-    d, r = w[:n_down], w[n_down:]
-    d22, d32 = d[:, 2, 2], d[:, 3, 2]
-    d = d.at[:, 2, 2].set(d32).at[:, 3, 2].set(d22)
-    r22, r23 = r[:, 2, 2], r[:, 2, 3]
-    r = r.at[:, 2, 2].set(r23).at[:, 2, 3].set(r22)
-    return jnp.concatenate([d, r], axis=0)
+    d14, d20 = w[14, :n_down], w[20, :n_down]
+    r14, r15 = w[14, n_down:], w[15, n_down:]
+    w = w.at[14].set(jnp.concatenate([d20, r15]))
+    w = w.at[20, :n_down].set(d14)
+    w = w.at[15, n_down:].set(r14)
+    return w
 
 
 def effective_mask(cfg: EnvConfig, colour, kind) -> jnp.ndarray:
     """bool[num_actions]: which swaps would do anything (`board.py:735-787`)."""
-    flat_np, valid_np, flat1_np, flat2_np, n_down = _window_tables(cfg)
+    flat_np, valid_tri_np, tri_np, flat1_np, flat2_np, n_down = _window_tables(cfg)
     flat = jnp.asarray(flat_np)
-    valid = jnp.asarray(valid_np)
+    valid_tri = jnp.asarray(valid_tri_np)
     flat1 = jnp.asarray(flat1_np)
     flat2 = jnp.asarray(flat2_np)
     colf = colour.reshape(-1)
@@ -86,26 +117,17 @@ def effective_mask(cfg: EnvConfig, colour, kind) -> jnp.ndarray:
     both_special = ((k1 != 0) & (k1 != 1)) & ((k2 != 0) & (k2 != 1))
     any_cookie = (k1 < 0) | (k2 < 0)
 
-    colw = _swap_in_windows(colf[flat], n_down)
+    colw = _swap_in_windows(colf[flat], n_down)  # [36, A]
     kinw = _swap_in_windows(kinf[flat], n_down)
 
-    h3 = (
-        (colw[:, :, :-2] == colw[:, :, 1:-1])
-        & (colw[:, :, 1:-1] == colw[:, :, 2:])
-        & valid[:, :, :-2]
-        & valid[:, :, 1:-1]
-        & valid[:, :, 2:]
-        & (kinw[:, :, 2:] >= 0)
-    )
-    v3 = (
-        (colw[:, :-2, :] == colw[:, 1:-1, :])
-        & (colw[:, 1:-1, :] == colw[:, 2:, :])
-        & valid[:, :-2, :]
-        & valid[:, 1:-1, :]
-        & valid[:, 2:, :]
-        & (kinw[:, 2:, :] >= 0)
-    )
-    win_match = jnp.any(h3, axis=(1, 2)) | jnp.any(v3, axis=(1, 2))
+    a, b, c = tri_np[:, 0], tri_np[:, 1], tri_np[:, 2]
+    run3 = (
+        (colw[a] == colw[b])
+        & (colw[b] == colw[c])
+        & valid_tri
+        & (kinw[c] >= 0)
+    )  # [48, A]
+    win_match = jnp.any(run3, axis=0)
     return both_special | any_cookie | win_match
 
 
