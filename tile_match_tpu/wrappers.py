@@ -102,7 +102,7 @@ try:  # pragma: no cover - import guard
             self.observation_space = gym.spaces.Dict(
                 {
                     "board": self.board_obs_space,
-                    "num_moves_left": u._moves_left_observation_space,
+                    "num_moves_left": u.observation_space["num_moves_left"],
                 }
             )
             self.type_slices = _enabled_type_slices(
