@@ -38,8 +38,10 @@ JAX_CACHE = os.path.join(_DIR, ".jax_cache")
 
 R, C, K, MOVES = 10, 10, 4, 30
 BATCH = int(os.environ.get("TMT_BENCH_BATCH", "16384"))
-CHUNK = int(os.environ.get("TMT_BENCH_CHUNK", "16"))
-STEPS = int(os.environ.get("TMT_BENCH_STEPS", "4"))
+# Chunk of 8 keeps each device program well under the tunnel's execution
+# watchdog (long-running programs get the TPU worker killed; see BENCH.md).
+CHUNK = int(os.environ.get("TMT_BENCH_CHUNK", "8"))
+STEPS = int(os.environ.get("TMT_BENCH_STEPS", "2"))
 REPS = int(os.environ.get("TMT_BENCH_REPS", "3"))
 MAX_RETRIES = int(os.environ.get("TMT_BENCH_RETRIES", "4"))
 
@@ -156,21 +158,30 @@ def measure_ours(batch: int, chunk: int, steps: int, reps: int) -> float:
         )
         return states, mask, rs.sum(), key
 
+    # Warm the device claim with a tiny op (the remote tunnel's first
+    # dispatch can take minutes) before anything is timed.
+    float(jnp.zeros(()) + 1.0)
+
     states, ts = jax.jit(lambda k: batched_reset(cfg, k, batch))(
         jax.random.PRNGKey(0)
     )
     mask = ts.info.effective_actions
     key = jax.random.PRNGKey(1)
-    # compile + one warm chunk
+    # compile + one warm chunk, with a REAL host sync: block_until_ready
+    # returns early on this image's remote-tunnel backend, so the only
+    # trustworthy synchronisation is fetching a value.
     states, mask, r, key = run_chunk(states, mask, key)
-    jax.block_until_ready(r)
+    float(r)
 
     best = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(steps):
             states, mask, r, key = run_chunk(states, mask, key)
-        jax.block_until_ready(r)
+        # float(r) pulls the scalar to the host: a real synchronisation
+        # point even on backends whose block_until_ready returns early
+        # (the remote-tunnel backend on this image does).
+        float(r)
         dt = time.perf_counter() - t0
         best = max(best, batch * chunk * steps / dt)
     return best
@@ -194,6 +205,13 @@ def main():
     batch = int(os.environ.get("TMT_BENCH_BATCH", "128" if on_cpu else str(BATCH)))
     chunk = int(os.environ.get("TMT_BENCH_CHUNK", "4" if on_cpu else str(CHUNK)))
     steps = int(os.environ.get("TMT_BENCH_STEPS", "2" if on_cpu else str(STEPS)))
+    # Batch ladder: a configuration whose per-chunk execution outlives the
+    # tunnel's watchdog kills the TPU worker (surfaces as UNAVAILABLE); retry
+    # at smaller batch in a fresh process (the poisoned backend cannot be
+    # recovered in-process).
+    ladder = [batch, batch // 4, batch // 16]
+    idx = min(attempt, len(ladder) - 1)
+    batch = max(256, ladder[idx])
     try:
         sps = measure_ours(batch, chunk, steps, REPS)
         label = f"b{batch}"

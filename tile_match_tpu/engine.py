@@ -32,7 +32,7 @@ from .ops.board_ops import (
 )
 from .ops.classify import process_colour_lines
 from .ops.combination import combination_match, is_combination
-from .ops.effective import effective_mask, possible_move
+from .ops.effective import effective_mask
 from .ops.lines import first_line_info, get_colour_lines, has_any_line
 from .ops.resolve import resolve_colour_matches
 
@@ -50,19 +50,20 @@ def make_playable(cfg: EnvConfig, colour, kind, key, init_has_lines, init_top):
 
     While the board has no effective move or still has colour lines: if lines
     exist, re-roll all rows down to one past the first line's top row
-    (`board.py:120-131`); otherwise shuffle.  Returns whether any shuffle
-    happened (the ``shuffled`` info flag).
+    (`board.py:120-131`); otherwise shuffle.  Returns the board, the
+    ``shuffled`` info flag, and the CURRENT effective-action mask — the loop
+    condition needs the full mask anyway (`possible_move` = any of it), so it
+    is carried through the loop and handed back for the caller to reuse as
+    the post-move mask instead of recomputing the step's largest kernel.
     """
     R = cfg.num_rows
 
     def cond(carry):
-        colour, kind, key, has_lines, top, shuffled, it = carry
-        return ((~possible_move(cfg, colour, kind)) | has_lines) & (
-            it < cfg.max_regen_iters
-        )
+        colour, kind, key, mask, has_lines, top, shuffled, it = carry
+        return ((~jnp.any(mask)) | has_lines) & (it < cfg.max_regen_iters)
 
     def body(carry):
-        colour, kind, key, has_lines, top, shuffled, it = carry
+        colour, kind, key, mask, has_lines, top, shuffled, it = carry
         key, k = jax.random.split(key)
 
         def reroll(args):
@@ -82,48 +83,71 @@ def make_playable(cfg: EnvConfig, colour, kind, key, init_has_lines, init_top):
             has_lines, reroll, shuffle, (colour, kind, shuffled)
         )
         has_lines, top = first_line_info(cfg, colour)
-        return colour, kind, key, has_lines, top, shuffled, it + 1
+        mask = effective_mask(cfg, colour, kind)
+        return colour, kind, key, mask, has_lines, top, shuffled, it + 1
 
-    colour, kind, key, _, _, shuffled, _ = jax.lax.while_loop(
+    mask0 = effective_mask(cfg, colour, kind)
+    colour, kind, key, mask, _, _, shuffled, _ = jax.lax.while_loop(
         cond,
         body,
         (
             colour,
             kind,
             key,
+            mask0,
             init_has_lines,
             init_top,
             jnp.asarray(False),
             jnp.int32(0),
         ),
     )
-    return colour, kind, key, shuffled
+    return colour, kind, key, shuffled, mask
 
 
 def generate_board(cfg: EnvConfig, key):
     """`board.py:95-112`: fresh all-normal board, re-rolled/shuffled until
-    match-free with at least one effective move."""
+    match-free with at least one effective move.
+
+    Also returns the generated board's effective-action mask (a by-product of
+    the playability loop).
+    """
     key, k = jax.random.split(key)
     colour = draw_colour_grid(k, cfg)
     kind = jnp.ones((cfg.num_rows, cfg.num_cols), jnp.int32)
     has_lines, top = first_line_info(cfg, colour)
-    colour, kind, key, _ = make_playable(cfg, colour, kind, key, has_lines, top)
-    return colour, kind, key
+    colour, kind, key, _, mask = make_playable(
+        cfg, colour, kind, key, has_lines, top
+    )
+    return colour, kind, key, mask
 
 
-def engine_move(cfg: EnvConfig, colour, kind, key, coord1, coord2, eff):
+def engine_move(cfg: EnvConfig, colour, kind, key, coord1, coord2, eff, cur_mask):
     """``Board.move`` (`board.py:330-395`) minus the legality raise (the
     action table only produces legal swaps; the Gym adapter validates).
 
+    ``cur_mask``: the CURRENT board's effective-action mask (the caller has
+    it — it decided ``eff``); returned unchanged for a no-op move.
+
     Returns (colour, kind, key, eliminations, is_comb, new_specials,
-    activated, shuffled).
+    activated, shuffled, post_mask) — ``post_mask`` is the effective-action
+    mask of the returned board (free by-product of the playability loop).
     """
     flat = cfg.flat_size
 
     def no_op(args):
         colour, kind, key = args
         z = jnp.int32(0)
-        return colour, kind, key, z, jnp.asarray(False), z, z, jnp.asarray(False)
+        return (
+            colour,
+            kind,
+            key,
+            z,
+            jnp.asarray(False),
+            z,
+            z,
+            jnp.asarray(False),
+            cur_mask,
+        )
 
     def do_move(args):
         colour, kind, key = args
@@ -183,24 +207,24 @@ def engine_move(cfg: EnvConfig, colour, kind, key, coord1, coord2, eff):
         elim = elim + new
 
         # playability loop (`board.py:381-391`): initial line state is empty.
-        colour, kind, key, shuffled = make_playable(
+        colour, kind, key, shuffled, post_mask = make_playable(
             cfg, colour, kind, key, jnp.asarray(False), jnp.int32(0)
         )
-        return colour, kind, key, elim, comb, new, activated, shuffled
+        return colour, kind, key, elim, comb, new, activated, shuffled, post_mask
 
     return jax.lax.cond(eff, do_move, no_op, (colour, kind, key))
 
 
 def reset(cfg: EnvConfig, key) -> Tuple[EnvState, StepInfo]:
     """``TileMatchEnv.reset`` (`tile_match_env.py:84-91`)."""
-    colour, kind, key = generate_board(cfg, key)
+    colour, kind, key, mask = generate_board(cfg, key)
     state = EnvState(colour=colour, kind=kind, timer=jnp.int32(0), key=key)
     info = StepInfo(
         is_combination_match=jnp.asarray(False),
         num_new_specials=jnp.int32(0),
         num_specials_activated=jnp.int32(0),
         shuffled=jnp.asarray(False),
-        effective_actions=effective_mask(cfg, colour, kind),
+        effective_actions=mask,
     )
     return state, info
 
@@ -223,7 +247,7 @@ def step(
 
     ``compute_post_mask``: static; when False the returned
     ``info.effective_actions`` is all-zero (used by the auto-resetting
-    batched env, which recomputes the mask on the post-reset states instead).
+    batched env, which substitutes post-reset masks for finished boards).
     """
     c1_tab, c2_tab = action_table(cfg)
     c1 = jnp.asarray(c1_tab)[action]
@@ -236,8 +260,8 @@ def step(
     )
     eff = mask_before[action]
 
-    colour, kind, key, elim, comb, new, act, shuffled = engine_move(
-        cfg, state.colour, state.kind, state.key, c1, c2, eff
+    colour, kind, key, elim, comb, new, act, shuffled, post_mask = engine_move(
+        cfg, state.colour, state.kind, state.key, c1, c2, eff, mask_before
     )
 
     timer = state.timer + 1
@@ -245,15 +269,14 @@ def step(
     next_state = EnvState(colour=colour, kind=kind, timer=timer, key=key)
 
     # `tile_match_env.py:118-124`: effective actions are empty once the
-    # episode is over.
+    # episode is over.  The mask itself is a by-product of the playability
+    # loop inside engine_move — no extra kernel here.
     if compute_post_mask:
         mask_after = jnp.where(
-            done,
-            jnp.zeros((cfg.num_actions,), bool),
-            effective_mask(cfg, colour, kind),
+            done, jnp.zeros((cfg.num_actions,), bool), post_mask
         )
     else:
-        mask_after = jnp.zeros((cfg.num_actions,), bool)
+        mask_after = post_mask
     info = StepInfo(
         is_combination_match=comb,
         num_new_specials=new,

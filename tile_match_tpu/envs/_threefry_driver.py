@@ -21,8 +21,8 @@ def _fns(cfg: EnvConfig):
     eff = jax.jit(lambda col, kn: effective_mask(cfg, col, kn))
 
     @jax.jit
-    def mv(col, kn, key, c1, c2, e):
-        return engine_move(cfg, col, kn, key, c1, c2, e)
+    def mv(col, kn, key, c1, c2, e, cur_mask):
+        return engine_move(cfg, col, kn, key, c1, c2, e, cur_mask)
 
     return gen, eff, mv
 
@@ -49,7 +49,7 @@ class ThreefryDriver:
         return self._board[1]
 
     def generate_board(self) -> None:
-        colour, kind, key = self._gen(self.key)
+        colour, kind, key, _mask = self._gen(self.key)
         self._board[0] = np.asarray(colour)
         self._board[1] = np.asarray(kind)
         self.key = key
@@ -70,14 +70,16 @@ class ThreefryDriver:
         idx = np.nonzero(m)[0]
         if not len(idx):
             raise ValueError(f"Invalid move: {coord1}, {coord2}")
-        eff = bool(self.effective_mask()[int(idx[0])])
-        colour, kind, key, elim, comb, new, act, shuf = self._mv(
+        cur_mask = self.effective_mask()
+        eff = bool(cur_mask[int(idx[0])])
+        colour, kind, key, elim, comb, new, act, shuf, _post = self._mv(
             self.colour,
             self.kind,
             self.key,
             jnp.asarray(coord1, jnp.int32),
             jnp.asarray(coord2, jnp.int32),
             eff,
+            jnp.asarray(cur_mask),
         )
         self._board[0] = np.asarray(colour)
         self._board[1] = np.asarray(kind)

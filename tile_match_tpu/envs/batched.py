@@ -75,21 +75,33 @@ def batched_step(
         )(states, actions, eff_mask)
 
     if auto_reset:
-
-        def maybe_reset(s: EnvState, d) -> EnvState:
-            def regen(s):
+        # The per-step mask for live boards is already in infos (a by-product
+        # of the playability loop inside step); only freshly regenerated
+        # boards need theirs substituted — and generate_board hands it back.
+        def maybe_reset(s: EnvState, d, m):
+            def regen(op):
+                s, m = op
                 key, k = jax.random.split(s.key)
-                colour, kind, key = generate_board(cfg, k)
-                return EnvState(
-                    colour=colour, kind=kind, timer=jnp.int32(0), key=key
+                colour, kind, key, mask = generate_board(cfg, k)
+                return (
+                    EnvState(colour=colour, kind=kind, timer=jnp.int32(0), key=key),
+                    mask,
                 )
 
-            return jax.lax.cond(d, regen, lambda s: s, s)
+            return jax.lax.cond(d, regen, lambda op: op, (s, m))
 
-        next_states = jax.vmap(maybe_reset)(next_states, dones)
-        from ..ops.effective import effective_mask as _eff  # local import
-
-        post_mask = jax.vmap(lambda s: _eff(cfg, s.colour, s.kind))(next_states)
+        # Batch-level gate: under vmap the per-board cond lowers to a select
+        # that executes BOTH branches, so the full generate_board rejection
+        # loop would run for every board on every step.  Episodes share the
+        # same timer under auto-reset (all boards finish together every
+        # num_moves steps), so gating on the batch-scalar any(done) makes
+        # regeneration a real branch that executes ~1/num_moves of the time.
+        next_states, post_mask = jax.lax.cond(
+            dones.any(),
+            lambda op: jax.vmap(maybe_reset)(op[0], dones, op[1]),
+            lambda op: op,
+            (next_states, infos.effective_actions),
+        )
         infos = infos.replace(effective_actions=post_mask)
 
     ts = TimeStep(

@@ -37,9 +37,18 @@ def gravity(colour, kind):
     columns at once.
     """
     empty = (colour == 0) & (kind == 0)
-    # key 0 for empty (goes to top), 1 otherwise; stable sort keeps relative
-    # order inside each group — identical to the reference's concatenate.
-    order = jnp.argsort(jnp.where(empty, 0, 1), axis=0, stable=True)
+    # Stable two-way partition via prefix sums (cheaper than a sort on TPU):
+    # an empty cell at row r lands at (number of empties above it); a tile
+    # lands at (total empties) + (number of tiles above it).  Scattering the
+    # source rows to those destinations yields the gather permutation.
+    n_empty = jnp.sum(empty, axis=0, keepdims=True)
+    csum_e = jnp.cumsum(empty, axis=0)
+    csum_t = jnp.cumsum(~empty, axis=0)
+    dest = jnp.where(empty, csum_e - 1, n_empty + csum_t - 1)
+    src = jax.lax.broadcasted_iota(jnp.int32, colour.shape, 0)
+    order = jnp.zeros_like(colour).at[
+        dest, jax.lax.broadcasted_iota(jnp.int32, colour.shape, 1)
+    ].set(src)
     return jnp.take_along_axis(colour, order, axis=0), jnp.take_along_axis(
         kind, order, axis=0
     )

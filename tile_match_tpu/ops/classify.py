@@ -74,6 +74,50 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
     m_type = jnp.zeros((MM,), jnp.int32)
     m_colour = jnp.zeros((MM,), jnp.int32)
 
+    # ---- per-board all-normal fast path ----------------------------------
+    # The queue machine only matters when some line can classify as a special
+    # (len>=4 with a laser/cookie enabled; any shared coord with bomb
+    # enabled).  Otherwise every pop emits a NORMAL match of the whole line,
+    # in initial order-key order — computable in one shot.  Boards on this
+    # path contribute ZERO trips to the while_loop below (their lo is set to
+    # BIG), so under vmap they no longer serialise behind the worst board.
+    R, C = cfg.num_rows, cfg.num_cols
+    bad4 = (
+        jnp.any(alive0 & (ll == 4))
+        if (cfg.vertical_laser or cfg.horizontal_laser)
+        else jnp.asarray(False)
+    )
+    bad5 = (
+        jnp.any(alive0 & (ll >= 5)) if cfg.cookie else jnp.asarray(False)
+    )
+    if cfg.bomb:
+        jj_ = jnp.arange(L, dtype=jnp.int32)[None, :]
+        livec = alive0[:, None] & (jj_ < ll[:, None])
+        rr_ = jnp.where(livec, jnp.clip(lc[:, :, 0], 0, R - 1), R)
+        cc_ = jnp.where(livec, jnp.clip(lc[:, :, 1], 0, C - 1), C)
+        cnt = (
+            jnp.zeros((R + 1, C + 1), jnp.int32)
+            .at[rr_, cc_]
+            .add(livec.astype(jnp.int32))[:R, :C]
+        )
+        bad_share = jnp.any(cnt >= 2)
+    else:
+        bad_share = jnp.asarray(False)
+    can_fast = ~(bad4 | bad5 | bad_share)
+
+    order = jnp.argsort(jnp.where(alive0, lo, BIG))  # [LM2] slot ids by key
+    f_live = alive0[order]  # emitted-match liveness, in emission order
+    f_len = jnp.where(f_live, ll[order], 0)
+    f_coords_L = jnp.where(f_live[:, None, None], lc[order], -1)  # [LM2, L, 2]
+    f_coords = jnp.full((LM2, CM, 2), -1, jnp.int32).at[:, :L, :].set(f_coords_L)
+    fr0 = jnp.clip(f_coords_L[:, 0, 0], 0, R - 1)
+    fc0 = jnp.clip(f_coords_L[:, 0, 1], 0, C - 1)
+    f_colour = jnp.where(f_live, colour[fr0, fc0], 0)
+    f_type = jnp.where(f_live, MATCH_NORMAL, 0)
+    f_count = jnp.sum(f_live.astype(jnp.int32))
+
+    lo = jnp.where(can_fast, BIG, lo)
+
     def cond(carry):
         lo, *_ = carry
         return jnp.any(lo < BIG)
@@ -98,16 +142,24 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
 
         # --- bomb partner search (only when bomb enabled: static prune) ----
         if cfg.bomb:
-            # eq[i, j, k]: line coord j equals slot-i coord k.
-            eq = _coord_eq(line[None, :, None, :], lc[:, None, :, :])
-            kk = jnp.arange(L, dtype=jnp.int32)
-            eq = (
-                eq
-                & in_line_n[None, :, None]
-                & (kk[None, None, :] < ll[:, None, None])
-                & (lo < BIG)[:, None, None]
+            # Scatter the popped line's coords into a bool grid, then test
+            # every queued slot's coords against it with one gather: [LM2, L]
+            # instead of the O(LM2*L*L) all-pairs coord comparison.
+            R_, C_ = cfg.num_rows, cfg.num_cols
+            g_rows = jnp.where(in_line_n, jnp.clip(line[:, 0], 0, R_ - 1), R_)
+            g_cols = jnp.where(in_line_n, jnp.clip(line[:, 1], 0, C_ - 1), C_)
+            g = (
+                jnp.zeros((R_ + 1, C_ + 1), bool)
+                .at[g_rows, g_cols]
+                .set(True)[:R_, :C_]
             )
-            share_line = jnp.any(eq, axis=(1, 2))
+            kk = jnp.arange(L, dtype=jnp.int32)
+            cover = (
+                g[jnp.clip(lc[:, :, 0], 0, R_ - 1), jnp.clip(lc[:, :, 1], 0, C_ - 1)]
+                & (kk[None, :] < ll[:, None])
+                & (lo < BIG)[:, None]
+            )
+            share_line = jnp.any(cover, axis=1)
             exists_share = jnp.any(share_line)
             partner = jnp.argmin(jnp.where(share_line, lo, BIG))
             bomb_case = (
@@ -161,8 +213,14 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
 
         # --- bomb: extras + partner update ---------------------------------
         if cfg.bomb:
-            # first shared coord in LINE order
-            shared_j = jnp.argmax(jnp.any(eq[partner], axis=1))
+            # first shared coord in LINE order (all-pairs test against the
+            # single chosen partner only: [L, L])
+            eqp = (
+                _coord_eq(line[:, None, :], lc[partner][None, :, :])
+                & in_line_n[:, None]
+                & (jnp.arange(L, dtype=jnp.int32)[None, :] < ll[partner])
+            )
+            shared_j = jnp.argmax(jnp.any(eqp, axis=1))
             shared = line[shared_j]
             p_coords = lc[partner]
             p_len = ll[partner]

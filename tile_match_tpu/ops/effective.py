@@ -75,6 +75,21 @@ def _window_tables(cfg: EnvConfig):
     flat1 = c1[:, 0] * C + c1[:, 1]
     flat2 = c2[:, 0] * C + c2[:, 1]
     n_down = C * (R - 1)
+
+    # Selection matrix for the window gather as an MXU matmul: TPU lowers the
+    # [36, A] dynamic-looking gather into a painfully slow loop, while
+    # board @ S (S one-hot, [R*C, 36*A]) is a tiny systolic-array matmul with
+    # bit-exact small-int results in bf16.
+    sel = np.zeros((R * C, 36 * A), np.float32)
+    flatT = flat.T  # [36, A]
+    for w in range(36):
+        sel[flatT[w], np.arange(A) + w * A] = 1.0
+    # Swap-cell selectors, same trick: [R*C, A] one-hot columns.
+    sel1 = np.zeros((R * C, A), np.float32)
+    sel1[flat1, np.arange(A)] = 1.0
+    sel2 = np.zeros((R * C, A), np.float32)
+    sel2[flat2, np.arange(A)] = 1.0
+
     # NOTE: cache numpy, not jnp — device constants created inside one jit
     # trace must not leak into another.
     return (
@@ -84,6 +99,9 @@ def _window_tables(cfg: EnvConfig):
         flat1.astype(np.int32),
         flat2.astype(np.int32),
         n_down,
+        sel,
+        sel1,
+        sel2,
     )
 
 
@@ -103,22 +121,42 @@ def _swap_in_windows(w, n_down):
 
 
 def effective_mask(cfg: EnvConfig, colour, kind) -> jnp.ndarray:
-    """bool[num_actions]: which swaps would do anything (`board.py:735-787`)."""
-    flat_np, valid_tri_np, tri_np, flat1_np, flat2_np, n_down = _window_tables(cfg)
-    flat = jnp.asarray(flat_np)
-    valid_tri = jnp.asarray(valid_tri_np)
-    flat1 = jnp.asarray(flat1_np)
-    flat2 = jnp.asarray(flat2_np)
-    colf = colour.reshape(-1)
-    kinf = kind.reshape(-1)
+    """bool[num_actions]: which swaps would do anything (`board.py:735-787`).
 
-    k1 = kinf[flat1]
-    k2 = kinf[flat2]
+    The window "gather" runs as a one-hot selection matmul on the MXU
+    (board-vector x [R*C, 36*A] 0/1 matrix): bit-exact for the small integer
+    tile values and orders of magnitude faster than TPU gather lowering.
+    """
+    (
+        _flat_np,
+        valid_tri_np,
+        tri_np,
+        _f1,
+        _f2,
+        n_down,
+        sel_np,
+        sel1_np,
+        sel2_np,
+    ) = _window_tables(cfg)
+    A = cfg.num_actions
+    valid_tri = jnp.asarray(valid_tri_np)
+    sel = jnp.asarray(sel_np, jnp.bfloat16)
+    sel1 = jnp.asarray(sel1_np, jnp.bfloat16)
+    sel2 = jnp.asarray(sel2_np, jnp.bfloat16)
+    colf = colour.reshape(-1).astype(jnp.bfloat16)
+    kinf = kind.reshape(-1).astype(jnp.bfloat16)
+
+    k1 = (kinf @ sel1).astype(jnp.int32)
+    k2 = (kinf @ sel2).astype(jnp.int32)
     both_special = ((k1 != 0) & (k1 != 1)) & ((k2 != 0) & (k2 != 1))
     any_cookie = (k1 < 0) | (k2 < 0)
 
-    colw = _swap_in_windows(colf[flat], n_down)  # [36, A]
-    kinw = _swap_in_windows(kinf[flat], n_down)
+    colw = _swap_in_windows(
+        (colf @ sel).astype(jnp.int32).reshape(36, A), n_down
+    )
+    kinw = _swap_in_windows(
+        (kinf @ sel).astype(jnp.int32).reshape(36, A), n_down
+    )
 
     a, b, c = tri_np[:, 0], tri_np[:, 1], tri_np[:, 2]
     run3 = (

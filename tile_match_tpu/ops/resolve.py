@@ -24,8 +24,8 @@ from .classify import Matches
 from .runs import BIG
 
 
-def _resolve_all_normal(cfg: EnvConfig, colour, kind, matches: Matches):
-    """No-specials fast path: delete every matched coordinate."""
+def _match_union_mask(cfg: EnvConfig, matches: Matches):
+    """bool[R, C]: union of all live match coordinates."""
     R, C = cfg.num_rows, cfg.num_cols
     MM, CM = matches.coords.shape[0], matches.coords.shape[1]
     jj = jnp.arange(CM, dtype=jnp.int32)[None, :]
@@ -33,9 +33,12 @@ def _resolve_all_normal(cfg: EnvConfig, colour, kind, matches: Matches):
     live = (jj < matches.length[:, None]) & (mm < matches.count)
     rs = jnp.where(live, jnp.clip(matches.coords[..., 0], 0, R), R)
     cs = jnp.where(live, jnp.clip(matches.coords[..., 1], 0, C), C)
-    mask = (
-        jnp.zeros((R + 1, C + 1), bool).at[rs, cs].set(True)[:R, :C]
-    )
+    return jnp.zeros((R + 1, C + 1), bool).at[rs, cs].set(True)[:R, :C]
+
+
+def _resolve_all_normal(cfg: EnvConfig, colour, kind, matches: Matches):
+    """No-specials fast path: delete every matched coordinate."""
+    mask = _match_union_mask(cfg, matches)
     return (
         jnp.where(mask, 0, colour),
         jnp.where(mask, 0, kind),
@@ -109,6 +112,19 @@ def resolve_colour_matches(cfg: EnvConfig, colour, kind, matches: Matches):
     MM = matches.coords.shape[0]
     CM = cfg.match_coords_max
 
+    # Per-board fast path: when no live match coordinate holds a special
+    # tile, sequential resolution degenerates to "delete the union" (normals
+    # have no side effects, so per-coord order is irrelevant), and the
+    # phase-2 machine below contributes ZERO while-loop trips for this board
+    # — under vmap the loop's trip count is the max over the batch, so boards
+    # on the fast path no longer drag everyone through the machine.
+    union = _match_union_mask(cfg, matches)
+    has_special_in_matches = jnp.any(
+        union & (kind != 0) & (kind != KIND_NORMAL)
+    )
+    colour_fast = jnp.where(union, 0, colour)
+    kind_fast = jnp.where(union, 0, kind)
+
     # ---- phase 1: pick special-creation positions (before any deletion,
     # `board.py:411-418`) ---------------------------------------------------
     def pick_body(m, carry):
@@ -139,8 +155,16 @@ def resolve_colour_matches(cfg: EnvConfig, colour, kind, matches: Matches):
 
     zi = jnp.zeros((MM,), jnp.int32)
     taken0 = jnp.zeros((R, C), bool)
+    # Dynamic trip count: slots >= matches.count never contribute (is_special_
+    # match is False there), so iterating past count is pure waste — and MM is
+    # a worst-case capacity (~160 at 10x10) while count is typically <= 3.
+    # This loop runs once per cascade iteration, so the static bound dominated
+    # the whole cascade's cost.
     _, q_r, q_c, q_t, q_col, q_ok = jax.lax.fori_loop(
-        0, MM, pick_body, (taken0, zi, zi, zi, zi, jnp.zeros((MM,), bool))
+        0,
+        jnp.minimum(matches.count, MM),
+        pick_body,
+        (taken0, zi, zi, zi, zi, jnp.zeros((MM,), bool)),
     )
 
     # ---- phase 2: eliminate/activate, match by match, coord by coord
@@ -198,10 +222,12 @@ def resolve_colour_matches(cfg: EnvConfig, colour, kind, matches: Matches):
         return jax.lax.cond(sp > 0, machine, outer, (st, m, k))
 
     st0 = machine_init(cfg, colour, kind, 0)
-    (st, _, _) = jax.lax.while_loop(
-        cond, body, (st0, jnp.int32(0), jnp.int32(0))
-    )
-    colour, kind, activated = st[0], st[1], st[2]
+    # Fast-path boards start with m = count → cond is False immediately.
+    m0 = jnp.where(has_special_in_matches, 0, matches.count)
+    (st, _, _) = jax.lax.while_loop(cond, body, (st0, m0, jnp.int32(0)))
+    colour = jnp.where(has_special_in_matches, st[0], colour_fast)
+    kind = jnp.where(has_special_in_matches, st[1], kind_fast)
+    activated = st[2]
 
     # ---- phase 3: create the queued specials (`board.py:426-427`) ---------
     # Positions are unique (taken-set), so one batched scatter suffices.

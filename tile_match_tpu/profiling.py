@@ -60,7 +60,8 @@ def measure_throughput(
     mask = ts.info.effective_actions
     key = jax.random.PRNGKey(seed + 1)
     states, mask, r, key = step_random(states, mask, key)
-    jax.block_until_ready(r)
+    float(r)  # real host sync (block_until_ready returns early on the
+    # remote-tunnel backend of this image)
 
     best, times = 0.0, []
     with trace(logdir):
@@ -68,7 +69,7 @@ def measure_throughput(
             t0 = time.perf_counter()
             for _ in range(num_steps):
                 states, mask, r, key = step_random(states, mask, key)
-            jax.block_until_ready(r)
+            float(r)
             dt = time.perf_counter() - t0
             times.append(dt)
             best = max(best, batch_size * num_steps / dt)
