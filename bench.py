@@ -5,20 +5,27 @@ Protocol: one jitted program scans CHUNK full env steps for the whole batch
 in a host loop with async dispatch and no host transfers.  Every scanned
 step does the complete per-step work: masked random-effective policy,
 effective-action mask, swap, combination branch, cascades with specials,
-gravity/refill, playability shuffles, auto-reset.  Config: 10x10 board, 4
-colours, full specials (README config, BASELINE.json config #4).
+gravity/refill, playability shuffles, auto-reset.
+
+Configs: the five rows of `BASELINE.json:6-12`; select with `--config N`
+(0-4) or env `TMT_BENCH_CONFIG`.  Default is config 3 (10x10, 4 colours,
+full specials — the README flagship), which is what the driver records.
 
 Robustness: the axon TPU tunnel's device claim fails transiently — on a
 backend-init failure the script re-execs itself (fresh claim) a few times;
 XLA programs are cached persistently in .jax_cache so compile cost is paid
 once per program shape.  If no accelerator is reachable it falls back to CPU
 (tiny batch) rather than crashing, so the driver always gets its JSON line.
+Device-claim retries (`_TMT_BENCH_CLAIM_ATTEMPT`) are counted separately
+from execution retries (`_TMT_BENCH_EXEC_ATTEMPT`); only the latter walk
+the batch ladder, and the ladder is skipped entirely when the user pinned
+TMT_BENCH_BATCH or on the CPU fallback path.
 
 Baseline: the reference env stepped on CPU.  numba is not installed in this
 image, so the reference runs de-jitted (no-op njit shim); its measured rate
 is multiplied by NJIT_FACTOR=30 as a conservative stand-in for numba's
 speedup of the @njit hot path, so vs_baseline is not inflated.  Cached in
-bench_baseline.json.
+bench_baseline.json, keyed per config.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
@@ -36,7 +43,30 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(_DIR, "bench_baseline.json")
 JAX_CACHE = os.path.join(_DIR, ".jax_cache")
 
-R, C, K, MOVES = 10, 10, 4, 30
+# The five BASELINE.json configs: (R, C, colours, moves, colourless, colour).
+CONFIGS = [
+    (5, 5, 3, 10, (), ()),
+    (10, 10, 4, 30, (), ()),
+    (10, 10, 4, 30, (), ("vertical_laser", "horizontal_laser", "bomb")),
+    (10, 10, 4, 30, ("cookie",), ("vertical_laser", "horizontal_laser", "bomb")),
+    (20, 20, 6, 100, ("cookie",), ("vertical_laser", "horizontal_laser", "bomb")),
+]
+
+
+def _config_index() -> int:
+    if "--config" in sys.argv:
+        return int(sys.argv[sys.argv.index("--config") + 1])
+    return int(os.environ.get("TMT_BENCH_CONFIG", "3"))
+
+
+CFG_IDX = _config_index()
+R, C, K, MOVES, COLOURLESS, COLOUR_SP = CONFIGS[CFG_IDX]
+_SPEC_LABEL = (
+    "no_specials"
+    if not (COLOURLESS or COLOUR_SP)
+    else ("full_specials" if COLOURLESS else "colour_specials")
+)
+
 BATCH = int(os.environ.get("TMT_BENCH_BATCH", "16384"))
 # Chunk of 8 keeps each device program well under the tunnel's execution
 # watchdog (long-running programs get the TPU worker killed; see BENCH.md).
@@ -75,8 +105,7 @@ def measure_reference_cpu(budget_s: float = 5.0) -> float:
         return 0.0
 
     env = TileMatchEnv(
-        R, C, K, MOVES, ["cookie"], ["vertical_laser", "horizontal_laser", "bomb"],
-        seed=0,
+        R, C, K, MOVES, list(COLOURLESS), list(COLOUR_SP), seed=0
     )
     rng = np.random.default_rng(0)
     obs, info = env.reset()
@@ -93,23 +122,26 @@ def measure_reference_cpu(budget_s: float = 5.0) -> float:
 
 
 def get_baseline() -> float:
+    cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            d = json.load(f)
-        if d.get("config") == [R, C, K]:
-            return d["baseline_steps_per_s"]
+            cache = json.load(f)
+        # legacy single-config layout → keep as config-3 entry
+        if "baseline_steps_per_s" in cache and cache.get("config") == [10, 10, 4]:
+            cache = {"3": cache}
+    key = str(CFG_IDX)
+    if key in cache and "baseline_steps_per_s" in cache[key]:
+        return cache[key]["baseline_steps_per_s"]
     raw = measure_reference_cpu()
     baseline = max(raw * NJIT_FACTOR, 1.0)
+    cache[key] = {
+        "config": [R, C, K],
+        "reference_dejitted_steps_per_s": raw,
+        "njit_factor": NJIT_FACTOR,
+        "baseline_steps_per_s": baseline,
+    }
     with open(BASELINE_CACHE, "w") as f:
-        json.dump(
-            {
-                "config": [R, C, K],
-                "reference_dejitted_steps_per_s": raw,
-                "njit_factor": NJIT_FACTOR,
-                "baseline_steps_per_s": baseline,
-            },
-            f,
-        )
+        json.dump(cache, f)
     return baseline
 
 
@@ -135,7 +167,11 @@ def measure_ours(batch: int, chunk: int, steps: int, reps: int) -> float:
     from tile_match_tpu.config import EnvConfig
     from tile_match_tpu.envs.batched import batched_reset, batched_step
 
-    cfg = EnvConfig(R, C, K, MOVES)
+    cfg = EnvConfig.create(
+        R, C, K, MOVES,
+        colourless_specials=COLOURLESS,
+        colour_specials=COLOUR_SP,
+    )
 
     # One dispatch = `chunk` full env steps scanned on device (the product
     # rollout path): dispatch overhead amortises while every step still does
@@ -187,45 +223,51 @@ def measure_ours(batch: int, chunk: int, steps: int, reps: int) -> float:
     return best
 
 
+def _reexec(counter_env: str) -> None:
+    n = int(os.environ.get(counter_env, "0"))
+    time.sleep(30 * (n + 1))
+    os.environ[counter_env] = str(n + 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     baseline = get_baseline()
 
-    attempt = int(os.environ.get("_TMT_BENCH_ATTEMPT", "0"))
+    claim_attempt = int(os.environ.get("_TMT_BENCH_CLAIM_ATTEMPT", "0"))
+    exec_attempt = int(os.environ.get("_TMT_BENCH_EXEC_ATTEMPT", "0"))
     if not _device_ok():
-        if attempt < MAX_RETRIES:
-            time.sleep(30 * (attempt + 1))
-            os.environ["_TMT_BENCH_ATTEMPT"] = str(attempt + 1)
-            os.execv(sys.executable, [sys.executable] + sys.argv)
+        if claim_attempt + exec_attempt < MAX_RETRIES:
+            _reexec("_TMT_BENCH_CLAIM_ATTEMPT")
         # last resort: CPU fallback so the driver still gets a data point
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
-    # CPU fallback shrinks the workload unless the user pinned it explicitly.
     on_cpu = os.environ.get("JAX_PLATFORMS") == "cpu"
+    pinned = "TMT_BENCH_BATCH" in os.environ
     batch = int(os.environ.get("TMT_BENCH_BATCH", "128" if on_cpu else str(BATCH)))
     chunk = int(os.environ.get("TMT_BENCH_CHUNK", "4" if on_cpu else str(CHUNK)))
     steps = int(os.environ.get("TMT_BENCH_STEPS", "2" if on_cpu else str(STEPS)))
     # Batch ladder: a configuration whose per-chunk execution outlives the
     # tunnel's watchdog kills the TPU worker (surfaces as UNAVAILABLE); retry
     # at smaller batch in a fresh process (the poisoned backend cannot be
-    # recovered in-process).
-    ladder = [batch, batch // 4, batch // 16]
-    idx = min(attempt, len(ladder) - 1)
-    batch = max(256, ladder[idx])
+    # recovered in-process).  Only EXECUTION failures walk the ladder; a
+    # pinned batch or the CPU fallback never shrinks.
+    if not pinned and not on_cpu:
+        ladder = [batch, batch // 4, batch // 16]
+        idx = min(exec_attempt, len(ladder) - 1)
+        batch = max(256, ladder[idx])
     try:
         sps = measure_ours(batch, chunk, steps, REPS)
         label = f"b{batch}"
     except Exception:
-        if attempt < MAX_RETRIES:
-            time.sleep(30 * (attempt + 1))
-            os.environ["_TMT_BENCH_ATTEMPT"] = str(attempt + 1)
-            os.execv(sys.executable, [sys.executable] + sys.argv)
+        if claim_attempt + exec_attempt < MAX_RETRIES:
+            _reexec("_TMT_BENCH_EXEC_ATTEMPT")
         raise
 
     print(
         json.dumps(
             {
-                "metric": f"env_steps_per_sec_{R}x{C}x{K}_full_specials_{label}",
+                "metric": f"env_steps_per_sec_{R}x{C}x{K}_{_SPEC_LABEL}_{label}",
                 "value": round(sps, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(sps / baseline, 2),

@@ -24,3 +24,28 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+# --- smoke suite ----------------------------------------------------------
+# `pytest -m smoke` is the mandatory pre-commit gate (<60 s): one decisive
+# slice of every layer — golden episodes, native engine steps, the headline
+# parity episode, and one small parity episode per specials config.
+_SMOKE_MODULES = (
+    "test_golden_episodes.py",
+    "test_engine_native.py",
+)
+_SMOKE_NODES = ("test_episode_parity_headline_config",)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nid = item.nodeid
+        if any(m in nid for m in _SMOKE_MODULES) or any(
+            n in nid for n in _SMOKE_NODES
+        ):
+            item.add_marker(pytest.mark.smoke)
+        elif "test_episode_parity_small" in nid:
+            params = getattr(item, "callspec", None)
+            if params is not None and params.params.get("seed") == 0:
+                item.add_marker(pytest.mark.smoke)

@@ -77,6 +77,15 @@ class EnvConfig:
     max_cascades: int = 64
     max_regen_iters: int = 256
     max_activation_steps: int = 0  # 0 → auto (derived from board size)
+    max_lines: int = 0  # 0 → auto; override of lines_max (tests/debug)
+    max_stack: int = 0  # 0 → auto; override of stack_max (tests/debug)
+
+    # Static debug flag: when True the kernels emit ``checkify.check`` calls
+    # at every capacity-cap truncation point (line-queue overflow, classify
+    # append drop, activation stack overflow, activation step budget), so
+    # silent truncation becomes an observable error.  Code containing these
+    # checks must run under ``checkify.checkify`` (see ``debug.checked_step``).
+    debug_checks: bool = False
 
     # ------------------------------------------------------------------
     # Constructors / derived sizes
@@ -155,10 +164,11 @@ class EnvConfig:
 
         Primary lines are anchored in a single (lowest) row: at most C
         vertical + C//3 horizontal.  Extension lines add at most a handful in
-        practice; 2*(R+C) is a generous cap (overflow is checked in debug
-        builds).
+        practice; 2*(R+C) is a generous cap.  Overflow is checked when
+        ``debug_checks`` is set (`ops/lines.py`); ``max_lines`` overrides the
+        cap (used by the overflow tests to force it).
         """
-        return 2 * (self.num_rows + self.num_cols)
+        return self.max_lines or 2 * (self.num_rows + self.num_cols)
 
     @property
     def match_coords_max(self) -> int:
@@ -172,8 +182,12 @@ class EnvConfig:
 
     @property
     def stack_max(self) -> int:
-        """Activation stack depth bound: one frame per live special + slack."""
-        return self.flat_size + 8
+        """Activation stack depth bound: one frame per live special + slack.
+
+        Overflow (a push at a full stack) is checked when ``debug_checks`` is
+        set (`ops/activate.py`); ``max_stack`` overrides the bound.
+        """
+        return self.max_stack or (self.flat_size + 8)
 
     @property
     def activation_steps_max(self) -> int:

@@ -40,8 +40,19 @@ def checked_step(cfg: EnvConfig):
 
     Returns fn(state, action) -> (err, (next_state, reward, done, info));
     call ``err.throw()`` (host) to surface violations.
+
+    The step runs with ``debug_checks=True``, so every capacity-cap
+    truncation point inside the kernels (line-queue overflow, classify
+    append drop, activation stack overflow / step-budget truncation) raises
+    instead of silently corrupting; cascade/regeneration-cap truncation is
+    caught by the post-step invariants below (leftover matches / no
+    possible move).
     """
+    import dataclasses
+
     from .engine import step
+
+    cfg = dataclasses.replace(cfg, debug_checks=True)
 
     def _step(state, action):
         next_state, reward, done, info = step(cfg, state, action)

@@ -246,8 +246,9 @@ def step(
     avoids recomputing the largest kernel of the step twice per transition.
 
     ``compute_post_mask``: static; when False the returned
-    ``info.effective_actions`` is all-zero (used by the auto-resetting
-    batched env, which substitutes post-reset masks for finished boards).
+    ``info.effective_actions`` is the raw post-move mask (NOT zeroed on
+    done) — used by the auto-resetting batched env, which substitutes the
+    regenerated boards' masks for finished episodes itself.
     """
     c1_tab, c2_tab = action_table(cfg)
     c1 = jnp.asarray(c1_tab)[action]

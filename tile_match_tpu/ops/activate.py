@@ -196,6 +196,15 @@ def machine_step(cfg: EnvConfig, st):
     do_push = scan & found
 
     f_idx = jnp.where(do_push, f_idx.at[top].set(first_ord + 1), f_idx)
+    if cfg.debug_checks:
+        from jax.experimental import checkify
+
+        # a push at a full stack would be a silent OOB-scatter drop
+        checkify.check(
+            ~(do_push & (sp2 >= cfg.stack_max)),
+            "stack_max overflow: activation frame dropped at depth {d}",
+            d=sp2,
+        )
     st2 = (colour, kind, count, f_op, f_r, f_c, f_idx, f_col, f_cnt, sp2)
     st2 = push_frame(
         st2, skind, sr, sc, child_counted, pred=do_push, idx=-1, fcolour=0
@@ -216,4 +225,14 @@ def run_machine(cfg: EnvConfig, st):
         return it + 1, machine_step(cfg, st)
 
     _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+    if cfg.debug_checks:
+        from jax.experimental import checkify
+
+        # a non-empty stack after the loop means the step budget truncated
+        # the chain (`board.py:473-556` has no such cap — it recurses freely)
+        checkify.check(
+            st[-1] == 0,
+            "activation_steps_max exceeded: chain truncated with {n} frames live",
+            n=st[-1],
+        )
     return st

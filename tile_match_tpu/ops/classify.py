@@ -200,6 +200,15 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
 
         # --- cookie remainder append ---------------------------------------
         rem_len = n - 5
+        if cfg.debug_checks:
+            from jax.experimental import checkify
+
+            # a needed re-append with no free slot would silently drop the
+            # cookie line's remainder (`board.py:291-292` re-appends freely)
+            checkify.check(
+                ~(cookie_case & (rem_len > 2) & (atail >= LM2)),
+                "classify queue overflow: cookie remainder dropped",
+            )
         do_append = cookie_case & (rem_len > 2) & (atail < LM2)
         rem = jnp.where(
             (jj < rem_len)[:, None], lc[sel][jnp.minimum(jj + 5, L - 1)], -1
@@ -297,4 +306,16 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
     )
     out = jax.lax.while_loop(cond, body, init)
     (_, _, _, _, _, mc, mlen, mt, mcol, mcount) = out
+
+    # Merge the all-normal fast path: boards on it ran zero loop trips, so
+    # the loop accumulators are empty; select the precomputed fast results.
+    f_coords_pad = jnp.full((MM, CM, 2), -1, jnp.int32).at[:LM2].set(f_coords)
+    f_len_pad = jnp.zeros((MM,), jnp.int32).at[:LM2].set(f_len)
+    f_type_pad = jnp.zeros((MM,), jnp.int32).at[:LM2].set(f_type)
+    f_colour_pad = jnp.zeros((MM,), jnp.int32).at[:LM2].set(f_colour)
+    mc = jnp.where(can_fast, f_coords_pad, mc)
+    mlen = jnp.where(can_fast, f_len_pad, mlen)
+    mt = jnp.where(can_fast, f_type_pad, mt)
+    mcol = jnp.where(can_fast, f_colour_pad, mcol)
+    mcount = jnp.where(can_fast, f_count, mcount)
     return Matches(coords=mc, length=mlen, mtype=mt, mcolour=mcol, count=mcount)

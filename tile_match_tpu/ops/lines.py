@@ -131,6 +131,17 @@ def get_colour_lines(cfg: EnvConfig, colour, kind) -> LineSet:
     )
     e_len = jnp.concatenate([h_ext_len.reshape(-1), v_ext_len.reshape(-1)])
 
+    if cfg.debug_checks:
+        from jax.experimental import checkify
+
+        n_ext_all = jnp.sum((e_ord < BIG).astype(jnp.int32))
+        checkify.check(
+            n_primary + n_ext_all <= LM,
+            "lines_max overflow: {n} detected lines exceed capacity {cap}",
+            n=n_primary + n_ext_all,
+            cap=jnp.int32(LM),
+        )
+
     perm = jnp.argsort(e_ord)[:LM]
     e_ord_s = e_ord[perm]
     n_ext = jnp.sum((e_ord_s < BIG).astype(jnp.int32))
