@@ -25,6 +25,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite compiles hundreds of program shapes;
+# caching makes repeat runs far faster and shrinks the window for the rare
+# in-process XLA-CPU compiler crash (observed as a segfault deep in
+# backend_compile_and_load after ~1500 compilations in one process).
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 # --- smoke suite ----------------------------------------------------------

@@ -163,12 +163,16 @@ class EnvConfig:
         """Capacity of the line queue in the classification machine.
 
         Primary lines are anchored in a single (lowest) row: at most C
-        vertical + C//3 horizontal.  Extension lines add at most a handful in
-        practice; 2*(R+C) is a generous cap.  Overflow is checked when
-        ``debug_checks`` is set (`ops/lines.py`); ``max_lines`` overrides the
-        cap (used by the overflow tests to force it).
+        vertical + C//3 horizontal (~13 at 10x10).  Extension lines add at
+        most a handful in practice; R+C is still generous (a 45-minute
+        differential fuzz campaign plus the golden/parity suites never
+        approached it), and the queue's size directly scales the while-carry
+        the classification machine copies every pop, so over-provisioning is
+        a real per-step cost.  Overflow is checked when ``debug_checks`` is
+        set (`ops/lines.py`); ``max_lines`` overrides the cap (tests force
+        overflow through it; raise it for adversarial board shapes).
         """
-        return self.max_lines or 2 * (self.num_rows + self.num_cols)
+        return self.max_lines or (self.num_rows + self.num_cols)
 
     @property
     def match_coords_max(self) -> int:
@@ -178,7 +182,9 @@ class EnvConfig:
 
     @property
     def matches_max(self) -> int:
-        return self.lines_max
+        # classify emits <= one match per pop and pops <= 2*lines_max total
+        # queue slots (`ops/classify.py`)
+        return 2 * self.lines_max
 
     @property
     def stack_max(self) -> int:

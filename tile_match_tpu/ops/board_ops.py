@@ -37,20 +37,21 @@ def gravity(colour, kind):
     columns at once.
     """
     empty = (colour == 0) & (kind == 0)
-    # Stable two-way partition via prefix sums (cheaper than a sort on TPU):
-    # an empty cell at row r lands at (number of empties above it); a tile
-    # lands at (total empties) + (number of tiles above it).  Scattering the
-    # source rows to those destinations yields the gather permutation.
+    # Stable two-way partition via prefix sums: an empty cell at row r lands
+    # at (number of empties above it); a tile lands at (total empties) +
+    # (number of tiles above it).  The permutation is applied as a one-hot
+    # multiply-reduce over the destination rows — scatter/gather-free, since
+    # TPU lowers batched multi-index scatters to serialized scalar loops.
     n_empty = jnp.sum(empty, axis=0, keepdims=True)
     csum_e = jnp.cumsum(empty, axis=0)
     csum_t = jnp.cumsum(~empty, axis=0)
-    dest = jnp.where(empty, csum_e - 1, n_empty + csum_t - 1)
-    src = jax.lax.broadcasted_iota(jnp.int32, colour.shape, 0)
-    order = jnp.zeros_like(colour).at[
-        dest, jax.lax.broadcasted_iota(jnp.int32, colour.shape, 1)
-    ].set(src)
-    return jnp.take_along_axis(colour, order, axis=0), jnp.take_along_axis(
-        kind, order, axis=0
+    dest = jnp.where(empty, csum_e - 1, n_empty + csum_t - 1)  # [R, C]
+    R = colour.shape[0]
+    out_rows = jax.lax.broadcasted_iota(jnp.int32, (R, R, 1), 0)
+    hit = dest[None, :, :] == out_rows  # [R(out), R(src), C] permutation
+    return (
+        jnp.sum(hit * colour[None, :, :], axis=1),
+        jnp.sum(hit * kind[None, :, :], axis=1),
     )
 
 

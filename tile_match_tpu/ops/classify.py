@@ -18,12 +18,25 @@ Instead of Python lists, the queue lives in fixed slot arrays with integer
 order keys: pop = argmin(order), append = fresh slot with a monotonically
 increasing key, remove = key := BIG.  The whole machine is one
 ``lax.while_loop`` with masked vector updates, so it jits and vmaps.
+
+Performance notes (TPU):
+
+* Shared-coordinate tests run on per-line membership **bitboards**
+  (``bmask: bool[LM2, R*C]``), kept incrementally updated through cookie
+  re-appends and bomb partner-shrinks.  All coordinate-set operations become
+  elementwise AND/any reductions — XLA's scatter/gather lowering on TPU is a
+  serialized scalar loop (~10ms per call at batch 1024), which previously
+  dominated the entire cascade.
+* Match capacity is ``MM = LM2``: every emit consumes one pop and each pop
+  kills one slot, so emits can never exceed the LM2 total slots ever alive —
+  ``mcount`` cannot overflow by construction.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 from flax import struct
 
 from ..config import (
@@ -57,8 +70,9 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
     L = cfg.line_len_max
     LM2 = 2 * LM  # initial slots + append slots
     CM = cfg.match_coords_max
-    ITER = 2 * LM2
-    MM = ITER
+    MM = LM2  # emits <= pops <= total slots ever alive = LM2
+    R, C = cfg.num_rows, cfg.num_cols
+    RC = R * C
 
     # --- working queue -----------------------------------------------------
     lc = jnp.full((LM2, L, 2), -1, jnp.int32)
@@ -74,56 +88,133 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
     m_type = jnp.zeros((MM,), jnp.int32)
     m_colour = jnp.zeros((MM,), jnp.int32)
 
-    # ---- per-board all-normal fast path ----------------------------------
-    # The queue machine only matters when some line can classify as a special
-    # (len>=4 with a laser/cookie enabled; any shared coord with bomb
-    # enabled).  Otherwise every pop emits a NORMAL match of the whole line,
-    # in initial order-key order — computable in one shot.  Boards on this
-    # path contribute ZERO trips to the while_loop below (their lo is set to
-    # BIG), so under vmap they no longer serialise behind the worst board.
-    R, C = cfg.num_rows, cfg.num_cols
-    bad4 = (
-        jnp.any(alive0 & (ll == 4))
-        if (cfg.vertical_laser or cfg.horizontal_laser)
-        else jnp.asarray(False)
-    )
-    bad5 = (
-        jnp.any(alive0 & (ll >= 5)) if cfg.cookie else jnp.asarray(False)
-    )
+    cell_ids = jnp.arange(RC, dtype=jnp.int32)
+    cell_r = cell_ids // C
+    cell_c = cell_ids % C
+
     if cfg.bomb:
-        jj_ = jnp.arange(L, dtype=jnp.int32)[None, :]
-        livec = alive0[:, None] & (jj_ < ll[:, None])
-        rr_ = jnp.where(livec, jnp.clip(lc[:, :, 0], 0, R - 1), R)
-        cc_ = jnp.where(livec, jnp.clip(lc[:, :, 1], 0, C - 1), C)
-        cnt = (
-            jnp.zeros((R + 1, C + 1), jnp.int32)
-            .at[rr_, cc_]
-            .add(livec.astype(jnp.int32))[:R, :C]
+        # Per-line membership bitboards.  Detected lines are straight
+        # ascending runs (`lines.py` contract), so each line's cell set is
+        # derived from (first coord, length, orientation) with pure
+        # elementwise compares — no scatter.
+        f0r, f0c = lc[:, 0, 0], lc[:, 0, 1]
+        vert = alive0 & (lc[:, 1, 1] == f0c)
+        in_v = (
+            (cell_c[None, :] == f0c[:, None])
+            & (cell_r[None, :] >= f0r[:, None])
+            & (cell_r[None, :] < (f0r + ll)[:, None])
         )
-        bad_share = jnp.any(cnt >= 2)
+        in_h = (
+            (cell_r[None, :] == f0r[:, None])
+            & (cell_c[None, :] >= f0c[:, None])
+            & (cell_c[None, :] < (f0c + ll)[:, None])
+        )
+        bmask = alive0[:, None] & jnp.where(vert[:, None], in_v, in_h)
     else:
-        bad_share = jnp.asarray(False)
-    can_fast = ~(bad4 | bad5 | bad_share)
+        bmask = None
+
+    # ---- per-board no-interaction fast path -------------------------------
+    # The queue machine exists for ONE interaction: bomb pairing (a popped
+    # line consuming coords of a still-queued partner).  Without any shared
+    # coordinate, every line classifies independently — cookie (first 5,
+    # remainder re-queued after all initial lines), laser (len 4, orientation
+    # quirk), normal — and the whole emission sequence is computable in one
+    # vectorised shot, including multi-level cookie splitting.  Boards on
+    # this path contribute ZERO trips to the while_loop below (their lo is
+    # set to BIG), so under vmap they no longer serialise behind the worst
+    # board; the machine only ever runs for boards with a genuine share.
+    if cfg.bomb:
+        # two lines share a coord ⟺ some cell is covered by >= 2 bitboards.
+        # Conservative: remainders are subsets of their parents, so any
+        # runtime share implies an initial share.
+        cnt = jnp.sum(bmask.astype(jnp.int32), axis=0)
+        can_fast = ~jnp.any(cnt >= 2)
+    else:
+        can_fast = jnp.asarray(True)
 
     order = jnp.argsort(jnp.where(alive0, lo, BIG))  # [LM2] slot ids by key
-    f_live = alive0[order]  # emitted-match liveness, in emission order
-    f_len = jnp.where(f_live, ll[order], 0)
+    f_live = alive0[order]  # initial-line liveness, in emission order
+    f_len0 = jnp.where(f_live, ll[order], 0)
     f_coords_L = jnp.where(f_live[:, None, None], lc[order], -1)  # [LM2, L, 2]
-    f_coords = jnp.full((LM2, CM, 2), -1, jnp.int32).at[:, :L, :].set(f_coords_L)
     fr0 = jnp.clip(f_coords_L[:, 0, 0], 0, R - 1)
     fc0 = jnp.clip(f_coords_L[:, 0, 1], 0, C - 1)
-    f_colour = jnp.where(f_live, colour[fr0, fc0], 0)
-    f_type = jnp.where(f_live, MATCH_NORMAL, 0)
-    f_count = jnp.sum(f_live.astype(jnp.int32))
+    f_colour0 = jnp.where(f_live, colour[fr0, fc0], 0)
+    f_is_h = f_coords_L[:, 0, 0] == f_coords_L[:, 1, 0]
+    f_laser_t = jnp.where(
+        f_is_h & cfg.horizontal_laser,
+        MATCH_H_LASER,
+        jnp.where(cfg.vertical_laser, MATCH_V_LASER, MATCH_NORMAL),
+    )
+
+    # Level k = the k-th cookie remainder of an initial line (level 0).  A
+    # line splits while cookie applies and the remainder is > 2 long; each
+    # remainder re-queues after every already-queued line, so emission order
+    # is level-major, preserving the sorted initial order within each level
+    # (order keys: initial < 1st-level appends < 2nd-level, `board.py:
+    # 282-292` semantics).
+    NL = 1 + max(0, (L - 3) // 5) if cfg.cookie else 1
+    cm_ids = jnp.arange(CM, dtype=jnp.int32)
+    lev_live, lev_len, lev_type, lev_colour, lev_coords = [], [], [], [], []
+    live_k = f_live
+    len_k = f_len0
+    for k in range(NL):
+        is_cookie = (
+            live_k & (len_k >= 5) if cfg.cookie else jnp.zeros_like(live_k)
+        )
+        keep = jnp.where(is_cookie, 5, len_k)
+        typ = jnp.where(
+            is_cookie,
+            MATCH_COOKIE,
+            jnp.where(live_k & (len_k == 4), f_laser_t, MATCH_NORMAL),
+        )
+        colr = jnp.where(is_cookie, 0, f_colour0)
+        # coords: slice [5k, 5k+keep) of the original line (static shift)
+        src = _np.minimum(_np.arange(CM) + 5 * k, L - 1)
+        shifted = f_coords_L[:, src, :]  # [LM2, CM, 2]
+        emit_mask = (cm_ids[None, :] < keep[:, None]) & live_k[:, None]
+        sel_c = jnp.where(emit_mask[:, :, None], shifted, -1)
+        lev_live.append(live_k)
+        lev_len.append(jnp.where(live_k, keep, 0))
+        lev_type.append(jnp.where(live_k, typ, 0))
+        lev_colour.append(jnp.where(live_k, colr, 0))
+        lev_coords.append(sel_c)
+        rem = len_k - 5
+        live_k = is_cookie & (rem > 2)
+        len_k = jnp.where(live_k, rem, 0)
+
+    all_live = jnp.concatenate(lev_live)  # [NL*LM2]
+    all_len = jnp.concatenate(lev_len)
+    all_type = jnp.concatenate(lev_type)
+    all_colour = jnp.concatenate(lev_colour)
+    all_coords = jnp.concatenate(lev_coords)  # [NL*LM2, CM, 2]
+
+    # Compact the live emissions into the first `count` match slots with a
+    # one-hot multiply-reduce (scatter-free); emissions <= LM2 = MM always
+    # (the machine's own append-slot budget bounds total splits by LM).
+    pos = jnp.cumsum(all_live.astype(jnp.int32)) - 1  # [F]
+    slot_eq = all_live[:, None] & (
+        pos[:, None] == jnp.arange(MM, dtype=jnp.int32)[None, :]
+    )  # [F, MM]
+    f_count = jnp.sum(all_live.astype(jnp.int32))
+    se_i = slot_eq.astype(jnp.int32)
+    f_len = jnp.sum(se_i * all_len[:, None], axis=0)
+    f_type = jnp.sum(se_i * all_type[:, None], axis=0)
+    f_colour = jnp.sum(se_i * all_colour[:, None], axis=0)
+    flatc = all_coords.reshape(-1, CM * 2)
+    f_coords = (
+        jnp.sum(se_i[:, :, None] * (flatc + 1)[:, None, :], axis=0)
+        .reshape(MM, CM, 2)
+        - 1
+    )  # +1/-1 keeps the (-1,-1) padding exact through the zero-sum slots
 
     lo = jnp.where(can_fast, BIG, lo)
 
     def cond(carry):
-        lo, *_ = carry
+        lo = carry[0]
         return jnp.any(lo < BIG)
 
     def body(carry):
-        lo, lc, ll, atail, next_order, mc, mlen, mt, mcol, mcount = carry
+        (lo, lc, ll, bmask, atail, next_order, mc, mlen, mt, mcol, mcount) = carry
 
         sel = jnp.argmin(lo)
         n = ll[sel]
@@ -142,24 +233,10 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
 
         # --- bomb partner search (only when bomb enabled: static prune) ----
         if cfg.bomb:
-            # Scatter the popped line's coords into a bool grid, then test
-            # every queued slot's coords against it with one gather: [LM2, L]
-            # instead of the O(LM2*L*L) all-pairs coord comparison.
-            R_, C_ = cfg.num_rows, cfg.num_cols
-            g_rows = jnp.where(in_line_n, jnp.clip(line[:, 0], 0, R_ - 1), R_)
-            g_cols = jnp.where(in_line_n, jnp.clip(line[:, 1], 0, C_ - 1), C_)
-            g = (
-                jnp.zeros((R_ + 1, C_ + 1), bool)
-                .at[g_rows, g_cols]
-                .set(True)[:R_, :C_]
+            pb = bmask[sel]  # popped line's cell set [RC]
+            share_line = (
+                jnp.any(bmask & pb[None, :], axis=1) & (lo < BIG) & (ll > 0)
             )
-            kk = jnp.arange(L, dtype=jnp.int32)
-            cover = (
-                g[jnp.clip(lc[:, :, 0], 0, R_ - 1), jnp.clip(lc[:, :, 1], 0, C_ - 1)]
-                & (kk[None, :] < ll[:, None])
-                & (lo < BIG)[:, None]
-            )
-            share_line = jnp.any(cover, axis=1)
             exists_share = jnp.any(share_line)
             partner = jnp.argmin(jnp.where(share_line, lo, BIG))
             bomb_case = (
@@ -217,19 +294,35 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
         lc = jnp.where(do_append, lc.at[app_slot].set(rem), lc)
         ll = jnp.where(do_append, ll.at[app_slot].set(rem_len), ll)
         lo = jnp.where(do_append, lo.at[app_slot].set(next_order), lo)
+        if cfg.bomb:
+            remo = (
+                jnp.clip(rem[:, 0], 0, R - 1) * C + jnp.clip(rem[:, 1], 0, C - 1)
+            )
+            rbits = jnp.any(
+                (cell_ids[None, :] == remo[:, None]) & (jj < rem_len)[:, None],
+                axis=0,
+            )
+            bmask = jnp.where(do_append, bmask.at[app_slot].set(rbits), bmask)
         atail = atail + do_append.astype(jnp.int32)
         next_order = next_order + do_append.astype(jnp.int32)
 
         # --- bomb: extras + partner update ---------------------------------
         if cfg.bomb:
-            # first shared coord in LINE order (all-pairs test against the
-            # single chosen partner only: [L, L])
-            eqp = (
-                _coord_eq(line[:, None, :], lc[partner][None, :, :])
-                & in_line_n[:, None]
-                & (jnp.arange(L, dtype=jnp.int32)[None, :] < ll[partner])
+            # first shared coord in LINE order: line coords present in the
+            # partner's cell set (bitboard lookup, no gather)
+            pbits = bmask[partner]
+            line_ord = (
+                jnp.clip(line[:, 0], 0, R - 1) * C
+                + jnp.clip(line[:, 1], 0, C - 1)
             )
-            shared_j = jnp.argmax(jnp.any(eqp, axis=1))
+            memb = (
+                jnp.any(
+                    (cell_ids[None, :] == line_ord[:, None]) & pbits[None, :],
+                    axis=1,
+                )
+                & in_line_n
+            )
+            shared_j = jnp.argmax(memb)
             shared = line[shared_j]
             p_coords = lc[partner]
             p_len = ll[partner]
@@ -281,8 +374,18 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
             )
             lc = jnp.where(shrink, lc.at[partner].set(new_p), lc)
             ll = jnp.where(shrink, ll.at[partner].set(p_len - 3), ll)
+            # shrink p_len >= 6 ⇒ all sel3 valid ⇒ remove their cells
+            sel3_ord = (
+                jnp.clip(sel3_coords[:, 0], 0, R - 1) * C
+                + jnp.clip(sel3_coords[:, 1], 0, C - 1)
+            )
+            rm = jnp.any(cell_ids[None, :] == sel3_ord[:, None], axis=0)
+            bmask = jnp.where(
+                shrink, bmask.at[partner].set(pbits & ~rm), bmask
+            )
 
         # --- write emitted match -------------------------------------------
+        # mcount <= pops <= LM2 = MM, so the min() clamp never actually bites.
         mslot = jnp.minimum(mcount, MM - 1)
         mc = jnp.where(emit, mc.at[mslot].set(out_c), mc)
         mlen = jnp.where(emit, mlen.at[mslot].set(out_len), mlen)
@@ -290,12 +393,17 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
         mcol = jnp.where(emit, mcol.at[mslot].set(out_colour), mcol)
         mcount = mcount + emit.astype(jnp.int32)
 
-        return (lo, lc, ll, atail, next_order, mc, mlen, mt, mcol, mcount)
+        return (lo, lc, ll, bmask, atail, next_order, mc, mlen, mt, mcol, mcount)
+
+    if not cfg.bomb:
+        # keep the carry a fixed pytree: a scalar stand-in for bmask
+        bmask = jnp.int32(0)
 
     init = (
         lo,
         lc,
         ll,
+        bmask,
         jnp.int32(LM),
         jnp.int32((cfg.num_rows + 2) * LM),
         m_coords,
@@ -305,17 +413,14 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
         jnp.int32(0),
     )
     out = jax.lax.while_loop(cond, body, init)
-    (_, _, _, _, _, mc, mlen, mt, mcol, mcount) = out
+    (_, _, _, _, _, _, mc, mlen, mt, mcol, mcount) = out
 
     # Merge the all-normal fast path: boards on it ran zero loop trips, so
-    # the loop accumulators are empty; select the precomputed fast results.
-    f_coords_pad = jnp.full((MM, CM, 2), -1, jnp.int32).at[:LM2].set(f_coords)
-    f_len_pad = jnp.zeros((MM,), jnp.int32).at[:LM2].set(f_len)
-    f_type_pad = jnp.zeros((MM,), jnp.int32).at[:LM2].set(f_type)
-    f_colour_pad = jnp.zeros((MM,), jnp.int32).at[:LM2].set(f_colour)
-    mc = jnp.where(can_fast, f_coords_pad, mc)
-    mlen = jnp.where(can_fast, f_len_pad, mlen)
-    mt = jnp.where(can_fast, f_type_pad, mt)
-    mcol = jnp.where(can_fast, f_colour_pad, mcol)
+    # the loop accumulators are empty; select the precomputed fast results
+    # (shapes already match: MM == LM2).
+    mc = jnp.where(can_fast, f_coords, mc)
+    mlen = jnp.where(can_fast, f_len, mlen)
+    mt = jnp.where(can_fast, f_type, mt)
+    mcol = jnp.where(can_fast, f_colour, mcol)
     mcount = jnp.where(can_fast, f_count, mcount)
     return Matches(coords=mc, length=mlen, mtype=mt, mcolour=mcol, count=mcount)

@@ -25,15 +25,26 @@ from .runs import BIG
 
 
 def _match_union_mask(cfg: EnvConfig, matches: Matches):
-    """bool[R, C]: union of all live match coordinates."""
+    """bool[R, C]: union of all live match coordinates.
+
+    Computed as a compare-any reduction against the flat cell index rather
+    than a scatter: TPU lowers the batched [MM*CM]-index scatter to a
+    serialized scalar loop (~10ms/call at batch 1024 — it dominated each
+    cascade trip), while the compare-reduce is pure vector work.
+    """
     R, C = cfg.num_rows, cfg.num_cols
     MM, CM = matches.coords.shape[0], matches.coords.shape[1]
     jj = jnp.arange(CM, dtype=jnp.int32)[None, :]
     mm = jnp.arange(MM, dtype=jnp.int32)[:, None]
     live = (jj < matches.length[:, None]) & (mm < matches.count)
-    rs = jnp.where(live, jnp.clip(matches.coords[..., 0], 0, R), R)
-    cs = jnp.where(live, jnp.clip(matches.coords[..., 1], 0, C), C)
-    return jnp.zeros((R + 1, C + 1), bool).at[rs, cs].set(True)[:R, :C]
+    ords = jnp.where(
+        live,
+        jnp.clip(matches.coords[..., 0], 0, R - 1) * C
+        + jnp.clip(matches.coords[..., 1], 0, C - 1),
+        -1,
+    ).reshape(-1)  # [MM*CM]
+    cell_ids = jnp.arange(R * C, dtype=jnp.int32)
+    return jnp.any(ords[:, None] == cell_ids[None, :], axis=0).reshape(R, C)
 
 
 def _resolve_all_normal(cfg: EnvConfig, colour, kind, matches: Matches):
@@ -230,16 +241,17 @@ def resolve_colour_matches(cfg: EnvConfig, colour, kind, matches: Matches):
     activated = st[2]
 
     # ---- phase 3: create the queued specials (`board.py:426-427`) ---------
-    # Positions are unique (taken-set), so one batched scatter suffices.
+    # Positions are unique (taken-set), so a one-hot multiply-reduce writes
+    # them all at once (scatter-free: TPU scatters serialize).
     new_kind_code = jnp.where(q_t == MATCH_COOKIE, KIND_COOKIE, q_t)
-    sr = jnp.where(q_ok, q_r, R)
-    sc = jnp.where(q_ok, q_c, C)
-    colour_p = jnp.pad(colour, ((0, 1), (0, 1)))
-    kind_p = jnp.pad(kind, ((0, 1), (0, 1)))
-    colour_p = colour_p.at[sr, sc].set(q_col)
-    kind_p = kind_p.at[sr, sc].set(new_kind_code)
-    colour = colour_p[:R, :C]
-    kind = kind_p[:R, :C]
+    cell_ids = jnp.arange(R * C, dtype=jnp.int32)
+    ordq = jnp.where(q_ok, q_r * C + q_c, -1)  # [MM]
+    hit = ordq[:, None] == cell_ids[None, :]  # [MM, R*C] one-hot rows
+    anyhit = jnp.any(hit, axis=0).reshape(R, C)
+    hcol = jnp.sum(hit * q_col[:, None], axis=0).reshape(R, C)
+    hkind = jnp.sum(hit * new_kind_code[:, None], axis=0).reshape(R, C)
+    colour = jnp.where(anyhit, hcol, colour)
+    kind = jnp.where(anyhit, hkind, kind)
     num_new = jnp.sum(q_ok.astype(jnp.int32))
 
     return colour, kind, activated, num_new
