@@ -75,13 +75,16 @@ def _creation_pos(cfg: EnvConfig, match_coords, n, is_bomb, taken):
     live = jj < n
     valid = live & ~taken[rr, cc]
 
-    # --- straight: middle of sorted valid coords ---------------------------
-    key = jnp.where(valid, match_coords[:, 0] * C + match_coords[:, 1], BIG)
-    order = jnp.argsort(key)
+    # --- straight: middle of valid coords ----------------------------------
+    # Straight-match coords arrive ascending (line order, `lines.py`), so
+    # "middle of sorted valid coords" is the k-th valid coord — selected via
+    # cumsum+argmax instead of an argsort (sorts are the costly op in this
+    # per-match pick loop).
     nv = jnp.sum(valid.astype(jnp.int32))
     pick = jnp.where(nv % 2 == 0, nv // 2 - 1, nv // 2)
-    pick = jnp.clip(pick, 0, CM - 1)
-    straight_pos = match_coords[order[pick]]
+    cum = jnp.cumsum(valid.astype(jnp.int32))
+    sel_mid = valid & (cum == pick + 1)
+    straight_pos = match_coords[jnp.argmax(sel_mid)]
 
     # --- bomb: mode corner then closest valid ------------------------------
     xs = match_coords[:, 0]
@@ -123,13 +126,32 @@ def resolve_colour_matches(cfg: EnvConfig, colour, kind, matches: Matches):
     MM = matches.coords.shape[0]
     CM = cfg.match_coords_max
 
+    # Per-match membership bitboards, computed once per resolution call:
+    # mb[m, cell] ⟺ cell is one of match m's live coordinates.  They feed
+    # the union fast-path mask AND the phase-2 scan below (gather-free).
+    mm_ids = jnp.arange(MM, dtype=jnp.int32)
+    jj_cm = jnp.arange(CM, dtype=jnp.int32)
+    cell_ids = jnp.arange(R * C, dtype=jnp.int32)
+    live_cm = (jj_cm[None, :] < matches.length[:, None]) & (
+        mm_ids[:, None] < matches.count
+    )
+    ords_all = jnp.where(
+        live_cm,
+        jnp.clip(matches.coords[..., 0], 0, R - 1) * C
+        + jnp.clip(matches.coords[..., 1], 0, C - 1),
+        -1,
+    )  # [MM, CM]
+    mb = jnp.any(
+        ords_all[:, :, None] == cell_ids[None, None, :], axis=1
+    )  # [MM, R*C]
+
     # Per-board fast path: when no live match coordinate holds a special
     # tile, sequential resolution degenerates to "delete the union" (normals
     # have no side effects, so per-coord order is irrelevant), and the
     # phase-2 machine below contributes ZERO while-loop trips for this board
     # — under vmap the loop's trip count is the max over the batch, so boards
     # on the fast path no longer drag everyone through the machine.
-    union = _match_union_mask(cfg, matches)
+    union = jnp.any(mb, axis=0).reshape(R, C)
     has_special_in_matches = jnp.any(
         union & (kind != 0) & (kind != KIND_NORMAL)
     )
@@ -180,8 +202,14 @@ def resolve_colour_matches(cfg: EnvConfig, colour, kind, matches: Matches):
 
     # ---- phase 2: eliminate/activate, match by match, coord by coord
     # (`board.py:421-423` + `460-471`), via the activation machine ----------
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    # The outer scan consumes ALL consecutive special-free matches in one
+    # trip (their deletions are plain normal-cell removals that commute, so
+    # batch-deleting them preserves the sequential semantics exactly), then
+    # pushes the next special's activation frame.  Trip count becomes
+    # O(#specials-in-matches + chain length) instead of O(#matches + ...).
+    # Deletions are idempotent (already-empty cells), so a re-entered match
+    # needs no coord-pointer bookkeeping: cells before the last activation
+    # are empty and the special-mask lookup skips them naturally.
 
     def cond(carry):
         st, m, k = carry
@@ -199,35 +227,40 @@ def resolve_colour_matches(cfg: EnvConfig, colour, kind, matches: Matches):
         def outer(args):
             st, m, k = args
             colour, kind = st[0], st[1]
-            mm = jnp.minimum(m, MM - 1)
-            cd = matches.coords[mm]
-            n = matches.length[mm]
-            jj = jnp.arange(CM, dtype=jnp.int32)
-            rr = jnp.clip(cd[:, 0], 0, R - 1)
-            ccd = jnp.clip(cd[:, 1], 0, C - 1)
-            pend = (jj >= k) & (jj < n)
-            kd = kind[rr, ccd]
-            is_special = pend & (kd != 0) & (kd != KIND_NORMAL)
-            first_j = jnp.min(jnp.where(is_special, jj, BIG))
-            # delete normal coords k..first_j-1 (`board.py:471`)
-            del_sel = pend & (jj < first_j)
-            dmask = jnp.any(
-                del_sel[:, None, None]
-                & (row_ids[None] == cd[:, 0, None, None])
-                & (col_ids[None] == cd[:, 1, None, None]),
+            sp_flat = ((kind != 0) & (kind != KIND_NORMAL)).reshape(-1)
+            alive_m = (mm_ids >= m) & (mm_ids < matches.count)
+            has_sp = alive_m & jnp.any(mb & sp_flat[None, :], axis=1)
+            exists = jnp.any(has_sp)
+            ms = jnp.argmax(has_sp)  # first remaining match with a special
+            msc = jnp.minimum(ms, MM - 1)
+            row_ords = ords_all[msc]  # [CM]
+            spv = jnp.any(
+                (row_ords[:, None] == cell_ids[None, :]) & sp_flat[None, :],
+                axis=1,
+            )
+            fs = jnp.where(exists, jnp.argmax(spv), 0)
+            # delete: all coords of special-free matches before ms, plus
+            # ms's list-prefix of normals before its first special
+            del_rows = jnp.where(exists, alive_m & (mm_ids < ms), alive_m)
+            dm = jnp.any(mb & del_rows[:, None], axis=0)
+            prefix = jnp.any(
+                (row_ords[:, None] == cell_ids[None, :])
+                & (jj_cm < fs)[:, None]
+                & exists,
                 axis=0,
             )
+            dmask = (dm | prefix).reshape(R, C)
             colour = jnp.where(dmask, 0, colour)
             kind = jnp.where(dmask, 0, kind)
             st = (colour, kind) + st[2:]
-            found = first_j < BIG
-            fj = jnp.clip(first_j, 0, CM - 1)
-            sr, sc = rr[fj], ccd[fj]
+            fsc = jnp.minimum(fs, CM - 1)
+            sr = jnp.clip(matches.coords[msc, fsc, 0], 0, R - 1)
+            sc = jnp.clip(matches.coords[msc, fsc, 1], 0, C - 1)
             st = push_frame(
-                st, kind[sr, sc], sr, sc, 1, pred=found, idx=-1, fcolour=0
+                st, kind[sr, sc], sr, sc, 1, pred=exists, idx=-1, fcolour=0
             )
-            m2 = jnp.where(found, m, m + 1)
-            k2 = jnp.where(found, fj + 1, 0)
+            m2 = jnp.where(exists, ms, matches.count)
+            k2 = jnp.where(exists, fs + 1, 0)
             return st, m2, k2
 
         return jax.lax.cond(sp > 0, machine, outer, (st, m, k))
