@@ -113,29 +113,37 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
     else:
         bmask = None
 
-    # ---- per-board no-interaction fast path -------------------------------
+    # ---- split: independent lines (vectorised) vs shared lines (machine) --
     # The queue machine exists for ONE interaction: bomb pairing (a popped
-    # line consuming coords of a still-queued partner).  Without any shared
-    # coordinate, every line classifies independently — cookie (first 5,
-    # remainder re-queued after all initial lines), laser (len 4, orientation
-    # quirk), normal — and the whole emission sequence is computable in one
-    # vectorised shot, including multi-level cookie splitting.  Boards on
-    # this path contribute ZERO trips to the while_loop below (their lo is
-    # set to BIG), so under vmap they no longer serialise behind the worst
-    # board; the machine only ever runs for boards with a genuine share.
+    # line consuming coords of a still-queued partner).  A line with no
+    # shared coordinate can never be or have a partner, so it classifies
+    # independently — cookie (first 5, remainder re-queued after all initial
+    # lines), laser (len 4, orientation quirk), normal — all computable in
+    # one vectorised shot, including multi-level cookie splitting.  ONLY the
+    # genuinely-sharing lines go through the while_loop machine; the two
+    # emission streams are merged afterwards by (level, root-key), which is
+    # exactly the sequential pop order (appends key strictly after all
+    # initial lines, level by level, parents in key order).  Under vmap this
+    # cuts the machine's trip count to the worst board's SHARED-line pops.
     if cfg.bomb:
-        # two lines share a coord ⟺ some cell is covered by >= 2 bitboards.
-        # Conservative: remainders are subsets of their parents, so any
-        # runtime share implies an initial share.
+        # a line is shared ⟺ one of its cells is covered by >= 2 bitboards.
+        # Conservative for remainders: they are subsets of their parents, so
+        # any runtime share implies an initial share.
         cnt = jnp.sum(bmask.astype(jnp.int32), axis=0)
-        can_fast = ~jnp.any(cnt >= 2)
+        shared = alive0 & jnp.any(bmask & (cnt >= 2)[None, :], axis=1)
     else:
-        can_fast = jnp.asarray(True)
+        shared = jnp.zeros((LM2,), bool)
+    fast_live0 = alive0 & ~shared
+    KSPAN = (R + 2) * LM  # > any initial order key (top_row*LM + slot)
 
-    order = jnp.argsort(jnp.where(alive0, lo, BIG))  # [LM2] slot ids by key
-    f_live = alive0[order]  # initial-line liveness, in emission order
-    f_len0 = jnp.where(f_live, ll[order], 0)
-    f_coords_L = jnp.where(f_live[:, None, None], lc[order], -1)  # [LM2, L, 2]
+    # Slot order, NOT sorted: the merge below orders every emission by its
+    # key anyway, so the fast side needs no argsort and no permutation
+    # gathers (TPU row-gathers at [B, LM2] cost ~0.4ms each at batch 1024
+    # and were half the cascade trip).
+    f_live = fast_live0  # independent-line liveness, slot order
+    f_root = jnp.where(f_live, lo, BIG)  # root order keys
+    f_len0 = jnp.where(f_live, ll, 0)
+    f_coords_L = jnp.where(f_live[:, None, None], lc, -1)  # [LM2, L, 2]
     fr0 = jnp.clip(f_coords_L[:, 0, 0], 0, R - 1)
     fc0 = jnp.clip(f_coords_L[:, 0, 1], 0, C - 1)
     f_colour0 = jnp.where(f_live, colour[fr0, fc0], 0)
@@ -154,7 +162,9 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
     # 282-292` semantics).
     NL = 1 + max(0, (L - 3) // 5) if cfg.cookie else 1
     cm_ids = jnp.arange(CM, dtype=jnp.int32)
-    lev_live, lev_len, lev_type, lev_colour, lev_coords = [], [], [], [], []
+    lev_live, lev_len, lev_type, lev_colour, lev_coords, lev_key = (
+        [], [], [], [], [], [],
+    )
     live_k = f_live
     len_k = f_len0
     for k in range(NL):
@@ -178,6 +188,7 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
         lev_type.append(jnp.where(live_k, typ, 0))
         lev_colour.append(jnp.where(live_k, colr, 0))
         lev_coords.append(sel_c)
+        lev_key.append(jnp.where(live_k, k * KSPAN + f_root, BIG))
         rem = len_k - 5
         live_k = is_cookie & (rem > 2)
         len_k = jnp.where(live_k, rem, 0)
@@ -187,38 +198,26 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
     all_type = jnp.concatenate(lev_type)
     all_colour = jnp.concatenate(lev_colour)
     all_coords = jnp.concatenate(lev_coords)  # [NL*LM2, CM, 2]
+    all_key = jnp.concatenate(lev_key)  # merge keys; BIG when dead
 
-    # Compact the live emissions into the first `count` match slots with a
-    # one-hot multiply-reduce (scatter-free); emissions <= LM2 = MM always
-    # (the machine's own append-slot budget bounds total splits by LM).
-    pos = jnp.cumsum(all_live.astype(jnp.int32)) - 1  # [F]
-    slot_eq = all_live[:, None] & (
-        pos[:, None] == jnp.arange(MM, dtype=jnp.int32)[None, :]
-    )  # [F, MM]
-    f_count = jnp.sum(all_live.astype(jnp.int32))
-    se_i = slot_eq.astype(jnp.int32)
-    f_len = jnp.sum(se_i * all_len[:, None], axis=0)
-    f_type = jnp.sum(se_i * all_type[:, None], axis=0)
-    f_colour = jnp.sum(se_i * all_colour[:, None], axis=0)
-    flatc = all_coords.reshape(-1, CM * 2)
-    f_coords = (
-        jnp.sum(se_i[:, :, None] * (flatc + 1)[:, None, :], axis=0)
-        .reshape(MM, CM, 2)
-        - 1
-    )  # +1/-1 keeps the (-1,-1) padding exact through the zero-sum slots
-
-    lo = jnp.where(can_fast, BIG, lo)
+    # The machine only sees the shared lines.
+    lo = jnp.where(shared, lo, BIG)
 
     def cond(carry):
         lo = carry[0]
         return jnp.any(lo < BIG)
 
     def body(carry):
-        (lo, lc, ll, bmask, atail, next_order, mc, mlen, mt, mcol, mcount) = carry
+        (
+            lo, lc, ll, bmask, lroot, llev, atail, next_order,
+            mc, mlen, mt, mcol, mkey, mcount,
+        ) = carry
 
         sel = jnp.argmin(lo)
         n = ll[sel]
         line = lc[sel]  # [L, 2]
+        sel_root = lroot[sel]
+        sel_lev = llev[sel]
         jj = jnp.arange(L, dtype=jnp.int32)
         in_line_n = jj < n
         # kill popped slot
@@ -294,6 +293,8 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
         lc = jnp.where(do_append, lc.at[app_slot].set(rem), lc)
         ll = jnp.where(do_append, ll.at[app_slot].set(rem_len), ll)
         lo = jnp.where(do_append, lo.at[app_slot].set(next_order), lo)
+        lroot = jnp.where(do_append, lroot.at[app_slot].set(sel_root), lroot)
+        llev = jnp.where(do_append, llev.at[app_slot].set(sel_lev + 1), llev)
         if cfg.bomb:
             remo = (
                 jnp.clip(rem[:, 0], 0, R - 1) * C + jnp.clip(rem[:, 1], 0, C - 1)
@@ -391,9 +392,15 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
         mlen = jnp.where(emit, mlen.at[mslot].set(out_len), mlen)
         mt = jnp.where(emit, mt.at[mslot].set(out_type), mt)
         mcol = jnp.where(emit, mcol.at[mslot].set(out_colour), mcol)
+        mkey = jnp.where(
+            emit, mkey.at[mslot].set(sel_lev * KSPAN + sel_root), mkey
+        )
         mcount = mcount + emit.astype(jnp.int32)
 
-        return (lo, lc, ll, bmask, atail, next_order, mc, mlen, mt, mcol, mcount)
+        return (
+            lo, lc, ll, bmask, lroot, llev, atail, next_order,
+            mc, mlen, mt, mcol, mkey, mcount,
+        )
 
     if not cfg.bomb:
         # keep the carry a fixed pytree: a scalar stand-in for bmask
@@ -404,23 +411,47 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
         lc,
         ll,
         bmask,
+        lo,  # lroot: a line's root key is its own initial key
+        jnp.zeros((LM2,), jnp.int32),  # llev
         jnp.int32(LM),
-        jnp.int32((cfg.num_rows + 2) * LM),
+        jnp.int32(KSPAN),
         m_coords,
         m_len,
         m_type,
         m_colour,
+        jnp.full((MM,), BIG, jnp.int32),  # mkey
         jnp.int32(0),
     )
     out = jax.lax.while_loop(cond, body, init)
-    (_, _, _, _, _, _, mc, mlen, mt, mcol, mcount) = out
+    (_, _, _, _, _, _, _, _, mc, mlen, mt, mcol, mkey, mcount) = out
 
-    # Merge the all-normal fast path: boards on it ran zero loop trips, so
-    # the loop accumulators are empty; select the precomputed fast results
-    # (shapes already match: MM == LM2).
-    mc = jnp.where(can_fast, f_coords, mc)
-    mlen = jnp.where(can_fast, f_len, mlen)
-    mt = jnp.where(can_fast, f_type, mt)
-    mcol = jnp.where(can_fast, f_colour, mcol)
-    mcount = jnp.where(can_fast, f_count, mcount)
-    return Matches(coords=mc, length=mlen, mtype=mt, mcolour=mcol, count=mcount)
+    # ---- merge the two emission streams by (level, root key) --------------
+    # The independent stream carries its keys in all_key; the machine stream
+    # in mkey (BIG beyond mcount).  Keys are globally unique and sorting by
+    # them reproduces the sequential pop order exactly.
+    mkey = jnp.where(jnp.arange(MM) < mcount, mkey, BIG)
+    cat_key = jnp.concatenate([all_key, mkey])  # [NF + MM]
+    cat_len = jnp.concatenate([all_len, mlen])
+    cat_type = jnp.concatenate([all_type, mt])
+    cat_colour = jnp.concatenate([all_colour, mcol])
+    cat_coords = jnp.concatenate([all_coords, mc])  # [NF+MM, CM, 2]
+    perm = jnp.argsort(cat_key)[:MM]  # total live emissions <= MM
+    oh = (
+        jnp.arange(cat_key.shape[0], dtype=jnp.int32)[None, :] == perm[:, None]
+    ) & (cat_key[None, :] < BIG)  # [MM, NF+MM] one-hot, dead rows all-zero
+    oh_i = oh.astype(jnp.int32)
+    out_len = jnp.sum(oh_i * cat_len[None, :], axis=1)
+    out_type = jnp.sum(oh_i * cat_type[None, :], axis=1)
+    out_colour = jnp.sum(oh_i * cat_colour[None, :], axis=1)
+    flatc = cat_coords.reshape(-1, CM * 2)  # [NF+MM, CM*2]
+    out_coords = (
+        jnp.einsum("ms,sc->mc", oh_i, flatc + 1).reshape(MM, CM, 2) - 1
+    )  # +1/-1 keeps (-1,-1) padding exact through the zero-sum dead slots
+    out_count = jnp.sum((all_key < BIG).astype(jnp.int32)) + mcount
+    return Matches(
+        coords=out_coords,
+        length=out_len,
+        mtype=out_type,
+        mcolour=out_colour,
+        count=out_count,
+    )

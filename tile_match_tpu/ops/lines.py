@@ -36,12 +36,6 @@ class LineSet:
     count: jnp.ndarray  # i32 scalar
 
 
-def _scatter_desc(dest, idx, src, cap):
-    """dest[idx] = src with out-of-range idx dropped (dumped to slot cap)."""
-    idx = jnp.where((idx >= 0) & (idx < cap), idx, cap)
-    return jnp.zeros((cap + 1,), dest.dtype).at[idx].set(src)[:cap]
-
-
 def get_colour_lines(cfg: EnvConfig, colour, kind) -> LineSet:
     R, C = cfg.num_rows, cfg.num_cols
     LM, L = cfg.lines_max, cfg.line_len_max
@@ -142,8 +136,20 @@ def get_colour_lines(cfg: EnvConfig, colour, kind) -> LineSet:
             cap=jnp.int32(LM),
         )
 
+    # Top-LM extension candidates by order key, materialised through one-hot
+    # multiply-reduces instead of permutation gathers / index scatters (TPU
+    # lowers both to serialized scalar loops; the compare-reduce is pure
+    # vector work).
     perm = jnp.argsort(e_ord)[:LM]
-    e_ord_s = e_ord[perm]
+    oh_perm = (
+        jnp.arange(e_ord.shape[0], dtype=jnp.int32)[None, :] == perm[:, None]
+    ).astype(jnp.int32)  # [LM, 2RC]
+
+    def sel(field):
+        return jnp.sum(oh_perm * field.astype(jnp.int32)[None, :], axis=1)
+
+    e_ord_s = sel(jnp.where(e_ord < BIG, e_ord, BIG))
+    # dead entries sum the BIG sentinel exactly (one-hot rows have one 1)
     n_ext = jnp.sum((e_ord_s < BIG).astype(jnp.int32))
     ext_slot = n_primary + jnp.arange(LM, dtype=jnp.int32)
     ext_ok = (e_ord_s < BIG) & (ext_slot < LM)
@@ -151,15 +157,19 @@ def get_colour_lines(cfg: EnvConfig, colour, kind) -> LineSet:
     # --- materialise slot descriptors --------------------------------------
     p_idx = jnp.where(pre_flag, slot_pos, LM)
     e_idx = jnp.where(ext_ok, ext_slot, LM)
+    slot_arange = jnp.arange(LM, dtype=jnp.int32)
+    oh_p = (p_idx[None, :] == slot_arange[:, None]).astype(jnp.int32)  # [LM, 2C]
+    oh_e = (e_idx[None, :] == slot_arange[:, None]).astype(jnp.int32)  # [LM, LM]
 
-    def build(field_p, field_e, dtype=jnp.int32):
-        d = _scatter_desc(jnp.zeros((LM,), dtype), p_idx, field_p.astype(dtype), LM)
-        return d + _scatter_desc(jnp.zeros((LM,), dtype), e_idx, field_e.astype(dtype), LM)
+    def build(field_p, field_e):
+        return jnp.sum(
+            oh_p * field_p.astype(jnp.int32)[None, :], axis=1
+        ) + jnp.sum(oh_e * field_e.astype(jnp.int32)[None, :], axis=1)
 
-    d_vert = build(pre_vert, e_vert[perm]) > 0
-    d_fix = build(pre_fix, e_fix[perm])
-    d_start = build(pre_start, e_start[perm])
-    d_len = build(pre_len * pre_flag, e_len[perm] * ext_ok)
+    d_vert = build(pre_vert, sel(e_vert)) > 0
+    d_fix = build(pre_fix, sel(e_fix))
+    d_start = build(pre_start, sel(e_start))
+    d_len = build(pre_len * pre_flag, sel(e_len) * ext_ok)
 
     count = jnp.minimum(n_primary + n_ext, LM)
     slot_ids = jnp.arange(LM, dtype=jnp.int32)
