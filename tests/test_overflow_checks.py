@@ -104,20 +104,26 @@ def test_activation_within_caps_clean():
 
 
 def test_classify_append_overflow_fires():
-    # LM=1 → LM2=2 append slots.  A 13-long cookie line re-appends its
-    # 8-long remainder (atail 1→2); classifying that remainder needs another
-    # append (rem 3 > 2) with the queue full → check fires.
-    cfg = EnvConfig(13, 3, 2, max_lines=1, debug_checks=True)
+    # Only SHARED lines run through the queue machine (independent lines
+    # classify vectorially with no append budget), so the overflow needs two
+    # crossing 13-long cookie lines.  LM=2 → LM2=4: both pop as cookies and
+    # re-append their 8-long remainders (atail 2→4); the first remainder
+    # then needs a third append (rem 3 > 2) with the queue full → check
+    # fires.
+    cfg = EnvConfig(13, 13, 2, max_lines=2, debug_checks=True)
     L = cfg.line_len_max
-    colour = np.full((13, 3), 2, np.int32)
-    colour[:, 0] = 1
-    coords = np.full((1, L, 2), -1, np.int32)
+    colour = np.full((13, 13), 2, np.int32)
+    colour[:, 0] = 1  # vertical 13-line at col 0
+    colour[6, :] = 1  # horizontal 13-line at row 6 (crosses at (6, 0))
+    coords = np.full((2, L, 2), -1, np.int32)
     coords[0, :13, 0] = np.arange(13)
     coords[0, :13, 1] = 0
+    coords[1, :13, 0] = 6
+    coords[1, :13, 1] = np.arange(13)
     ls = LineSet(
         coords=jnp.asarray(coords),
-        length=jnp.asarray([13], jnp.int32),
-        count=jnp.int32(1),
+        length=jnp.asarray([13, 13], jnp.int32),
+        count=jnp.int32(2),
     )
     err, _ = checkify.checkify(
         lambda c: process_colour_lines(cfg, c, ls)

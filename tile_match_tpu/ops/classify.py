@@ -203,6 +203,18 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
     # The machine only sees the shared lines.
     lo = jnp.where(shared, lo, BIG)
 
+    # One extra DUMP slot per queue/emission array: conditional updates
+    # redirect their index there when disabled, so every update is a
+    # single-row dynamic write instead of a full-array select (the selects
+    # copied the whole [LM2, ...] carry per pop and dominated the machine).
+    DUMP = LM2
+    lo = jnp.concatenate([lo, jnp.full((1,), BIG, jnp.int32)])
+    lc = jnp.concatenate([lc, jnp.full((1, L, 2), -1, jnp.int32)])
+    ll = jnp.concatenate([ll, jnp.zeros((1,), jnp.int32)])
+    if cfg.bomb:
+        bmask = jnp.concatenate([bmask, jnp.zeros((1, RC), bool)])
+    slot_ids_m = jnp.arange(LM2 + 1, dtype=jnp.int32)
+
     def cond(carry):
         lo = carry[0]
         return jnp.any(lo < BIG)
@@ -234,7 +246,10 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
         if cfg.bomb:
             pb = bmask[sel]  # popped line's cell set [RC]
             share_line = (
-                jnp.any(bmask & pb[None, :], axis=1) & (lo < BIG) & (ll > 0)
+                jnp.any(bmask & pb[None, :], axis=1)
+                & (lo < BIG)
+                & (ll > 0)
+                & (slot_ids_m < LM2)  # never the DUMP slot
             )
             exists_share = jnp.any(share_line)
             partner = jnp.argmin(jnp.where(share_line, lo, BIG))
@@ -289,12 +304,13 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
         rem = jnp.where(
             (jj < rem_len)[:, None], lc[sel][jnp.minimum(jj + 5, L - 1)], -1
         )
-        app_slot = jnp.minimum(atail, LM2 - 1)
-        lc = jnp.where(do_append, lc.at[app_slot].set(rem), lc)
-        ll = jnp.where(do_append, ll.at[app_slot].set(rem_len), ll)
-        lo = jnp.where(do_append, lo.at[app_slot].set(next_order), lo)
-        lroot = jnp.where(do_append, lroot.at[app_slot].set(sel_root), lroot)
-        llev = jnp.where(do_append, llev.at[app_slot].set(sel_lev + 1), llev)
+        app_idx = jnp.where(do_append, jnp.minimum(atail, LM2 - 1), DUMP)
+        lc = lc.at[app_idx].set(rem)
+        ll = ll.at[app_idx].set(jnp.where(do_append, rem_len, 0))
+        # value guarded: the DUMP slot's key must stay BIG for the loop cond
+        lo = lo.at[app_idx].set(jnp.where(do_append, next_order, BIG))
+        lroot = lroot.at[app_idx].set(sel_root)
+        llev = llev.at[app_idx].set(sel_lev + 1)
         if cfg.bomb:
             remo = (
                 jnp.clip(rem[:, 0], 0, R - 1) * C + jnp.clip(rem[:, 1], 0, C - 1)
@@ -303,7 +319,7 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
                 (cell_ids[None, :] == remo[:, None]) & (jj < rem_len)[:, None],
                 axis=0,
             )
-            bmask = jnp.where(do_append, bmask.at[app_slot].set(rbits), bmask)
+            bmask = bmask.at[app_idx].set(rbits)
         atail = atail + do_append.astype(jnp.int32)
         next_order = next_order + do_append.astype(jnp.int32)
 
@@ -359,8 +375,9 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
 
             # partner update
             drop_partner = bomb_case & (p_len < 6)
-            lo = jnp.where(drop_partner, lo.at[partner].set(BIG), lo)
-            ll = jnp.where(drop_partner, ll.at[partner].set(0), ll)
+            drop_idx = jnp.where(drop_partner, partner, DUMP)
+            lo = lo.at[drop_idx].set(BIG)
+            ll = ll.at[drop_idx].set(0)
             shrink = bomb_case & (p_len >= 6)
             removed = jnp.zeros((L,), bool)
             for t in range(3):
@@ -373,28 +390,26 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
             new_p = (
                 jnp.full((L + 1, 2), -1, jnp.int32).at[scatter_idx].set(p_coords)[:L]
             )
-            lc = jnp.where(shrink, lc.at[partner].set(new_p), lc)
-            ll = jnp.where(shrink, ll.at[partner].set(p_len - 3), ll)
+            shrink_idx = jnp.where(shrink, partner, DUMP)
+            lc = lc.at[shrink_idx].set(new_p)
+            ll = ll.at[shrink_idx].set(jnp.where(shrink, p_len - 3, 0))
             # shrink p_len >= 6 ⇒ all sel3 valid ⇒ remove their cells
             sel3_ord = (
                 jnp.clip(sel3_coords[:, 0], 0, R - 1) * C
                 + jnp.clip(sel3_coords[:, 1], 0, C - 1)
             )
             rm = jnp.any(cell_ids[None, :] == sel3_ord[:, None], axis=0)
-            bmask = jnp.where(
-                shrink, bmask.at[partner].set(pbits & ~rm), bmask
-            )
+            bmask = bmask.at[shrink_idx].set(pbits & ~rm)
 
         # --- write emitted match -------------------------------------------
-        # mcount <= pops <= LM2 = MM, so the min() clamp never actually bites.
-        mslot = jnp.minimum(mcount, MM - 1)
-        mc = jnp.where(emit, mc.at[mslot].set(out_c), mc)
-        mlen = jnp.where(emit, mlen.at[mslot].set(out_len), mlen)
-        mt = jnp.where(emit, mt.at[mslot].set(out_type), mt)
-        mcol = jnp.where(emit, mcol.at[mslot].set(out_colour), mcol)
-        mkey = jnp.where(
-            emit, mkey.at[mslot].set(sel_lev * KSPAN + sel_root), mkey
-        )
+        # mcount <= pops <= LM2 = MM, so the min() clamp never actually
+        # bites; non-emitting pops write to the MM dump slot.
+        mslot = jnp.where(emit, jnp.minimum(mcount, MM - 1), MM)
+        mc = mc.at[mslot].set(out_c)
+        mlen = mlen.at[mslot].set(out_len)
+        mt = mt.at[mslot].set(out_type)
+        mcol = mcol.at[mslot].set(out_colour)
+        mkey = mkey.at[mslot].set(sel_lev * KSPAN + sel_root)
         mcount = mcount + emit.astype(jnp.int32)
 
         return (
@@ -411,19 +426,23 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
         lc,
         ll,
         bmask,
-        lo,  # lroot: a line's root key is its own initial key
-        jnp.zeros((LM2,), jnp.int32),  # llev
+        lo,  # lroot: a line's root key is its own initial key (padded)
+        jnp.zeros((LM2 + 1,), jnp.int32),  # llev (padded with dump slot)
         jnp.int32(LM),
         jnp.int32(KSPAN),
-        m_coords,
-        m_len,
-        m_type,
-        m_colour,
-        jnp.full((MM,), BIG, jnp.int32),  # mkey
+        jnp.concatenate([m_coords, jnp.full((1, CM, 2), -1, jnp.int32)]),
+        jnp.concatenate([m_len, jnp.zeros((1,), jnp.int32)]),
+        jnp.concatenate([m_type, jnp.zeros((1,), jnp.int32)]),
+        jnp.concatenate([m_colour, jnp.zeros((1,), jnp.int32)]),
+        jnp.full((MM + 1,), BIG, jnp.int32),  # mkey (padded)
         jnp.int32(0),
     )
     out = jax.lax.while_loop(cond, body, init)
     (_, _, _, _, _, _, _, _, mc, mlen, mt, mcol, mkey, mcount) = out
+    # trim the dump slots
+    mc, mlen, mt, mcol, mkey = (
+        mc[:MM], mlen[:MM], mt[:MM], mcol[:MM], mkey[:MM],
+    )
 
     # ---- merge the two emission streams by (level, root key) --------------
     # The independent stream carries its keys in all_key; the machine stream
@@ -435,6 +454,16 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
     cat_type = jnp.concatenate([all_type, mt])
     cat_colour = jnp.concatenate([all_colour, mcol])
     cat_coords = jnp.concatenate([all_coords, mc])  # [NF+MM, CM, 2]
+    if cfg.debug_checks:
+        from jax.experimental import checkify
+
+        # total emissions beyond MM would be silently truncated by the
+        # perm[:MM] slice below (cannot happen within the append budget:
+        # fast + machine emissions together mirror sequential pops <= LM2)
+        checkify.check(
+            jnp.sum((cat_key < BIG).astype(jnp.int32)) <= MM,
+            "classify emission overflow: more than MM live matches",
+        )
     perm = jnp.argsort(cat_key)[:MM]  # total live emissions <= MM
     oh = (
         jnp.arange(cat_key.shape[0], dtype=jnp.int32)[None, :] == perm[:, None]
