@@ -53,8 +53,10 @@ OP_BOMB2 = 6
 
 
 def empty_stack(cfg: EnvConfig):
+    # one extra DUMP slot: disabled pushes write there (single-row dynamic
+    # write) instead of select-copying the whole stack arrays
     SM = cfg.stack_max
-    z = jnp.zeros((SM,), jnp.int32)
+    z = jnp.zeros((SM + 1,), jnp.int32)
     return (z, z, z, z, z, z, jnp.int32(0))
 
 
@@ -75,18 +77,19 @@ def machine_init(cfg: EnvConfig, colour, kind, count=0):
 
 
 def push_frame(st, op, r, c, counted, pred=True, idx=-1, fcolour=0):
-    """Push one frame when ``pred`` holds."""
+    """Push one frame when ``pred`` holds (disabled pushes hit the DUMP slot)."""
     colour, kind, count, f_op, f_r, f_c, f_idx, f_col, f_cnt, sp = st
     p = jnp.asarray(pred)
-    i = sp
-    f_op = jnp.where(p, f_op.at[i].set(jnp.asarray(op, jnp.int32)), f_op)
-    f_r = jnp.where(p, f_r.at[i].set(jnp.asarray(r, jnp.int32)), f_r)
-    f_c = jnp.where(p, f_c.at[i].set(jnp.asarray(c, jnp.int32)), f_c)
-    f_idx = jnp.where(p, f_idx.at[i].set(jnp.asarray(idx, jnp.int32)), f_idx)
-    f_col = jnp.where(p, f_col.at[i].set(jnp.asarray(fcolour, jnp.int32)), f_col)
-    f_cnt = jnp.where(
-        p, f_cnt.at[i].set(jnp.asarray(counted, jnp.int32)), f_cnt
-    )
+    SM = f_op.shape[0] - 1  # last slot is the dump
+    # overflowing pushes (sp >= SM) are dropped into the dump, preserving
+    # the previous OOB-scatter-drop behaviour (observable via debug_checks)
+    i = jnp.where(p & (sp < SM), sp, SM)
+    f_op = f_op.at[i].set(jnp.asarray(op, jnp.int32))
+    f_r = f_r.at[i].set(jnp.asarray(r, jnp.int32))
+    f_c = f_c.at[i].set(jnp.asarray(c, jnp.int32))
+    f_idx = f_idx.at[i].set(jnp.asarray(idx, jnp.int32))
+    f_col = f_col.at[i].set(jnp.asarray(fcolour, jnp.int32))
+    f_cnt = f_cnt.at[i].set(jnp.asarray(counted, jnp.int32))
     sp = sp + p.astype(jnp.int32)
     return (colour, kind, count, f_op, f_r, f_c, f_idx, f_col, f_cnt, sp)
 
