@@ -36,6 +36,20 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest  # noqa: E402
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiler_state():
+    """Clear JAX's executable caches between test modules.
+
+    A long pytest process accumulates thousands of compiled executables;
+    around ~1500 compilations the in-process XLA CPU compiler has been
+    observed to segfault (deep in backend_compile_and_load).  Dropping the
+    caches per module bounds that state; the persistent on-disk cache keeps
+    recompiles cheap.
+    """
+    yield
+    jax.clear_caches()
+
 # --- smoke suite ----------------------------------------------------------
 # `pytest -m smoke` is the mandatory pre-commit gate (<60 s): one decisive
 # slice of every layer — golden episodes, native engine steps, the headline
