@@ -256,6 +256,11 @@ def main():
         ladder = [batch, batch // 4, batch // 16]
         idx = min(exec_attempt, len(ladder) - 1)
         batch = max(256, ladder[idx])
+    # Shorter dispatches survive a flaky TPU worker better: halve the chunk
+    # on each execution retry (unless the user pinned it), down to
+    # single-step dispatches.
+    if "TMT_BENCH_CHUNK" not in os.environ and not on_cpu and exec_attempt:
+        chunk = max(1, chunk >> exec_attempt)
     try:
         sps = measure_ours(batch, chunk, steps, REPS)
         label = f"b{batch}"

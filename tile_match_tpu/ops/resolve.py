@@ -160,13 +160,22 @@ def resolve_colour_matches(cfg: EnvConfig, colour, kind, matches: Matches):
 
     # ---- phase 1: pick special-creation positions (before any deletion,
     # `board.py:411-418`) ---------------------------------------------------
-    def pick_body(m, carry):
-        taken, q_r, q_c, q_t, q_col, q_ok = carry
-        is_special_match = (
-            (m < matches.count)
-            & (matches.mtype[m] != MATCH_NORMAL)
-            & (matches.mtype[m] != 0)
-        )
+    # Only special matches pick a position; iterate over the k-th SPECIAL
+    # match (via a rank lookup) instead of every match slot, so the loop's
+    # vmap trip count is the worst board's special-match count (usually
+    # 0-2) rather than its total match count.
+    is_special_slot = (
+        (mm_ids < matches.count)
+        & (matches.mtype != MATCH_NORMAL)
+        & (matches.mtype != 0)
+    )  # [MM]
+    spec_rank = jnp.cumsum(is_special_slot.astype(jnp.int32))  # 1-based
+    n_special = spec_rank[-1] if MM > 0 else jnp.int32(0)
+
+    def pick_body(k, carry):
+        taken, q_r, q_c, q_ok = carry
+        # slot of the (k+1)-th special match
+        m = jnp.argmax(is_special_slot & (spec_rank == k + 1))
         pos = _creation_pos(
             cfg,
             matches.coords[m],
@@ -176,29 +185,22 @@ def resolve_colour_matches(cfg: EnvConfig, colour, kind, matches: Matches):
         )
         pr = jnp.clip(pos[0], 0, R - 1)
         pc = jnp.clip(pos[1], 0, C - 1)
-        taken = jnp.where(
-            is_special_match, taken.at[pr, pc].set(True), taken
-        )
+        taken = taken.at[pr, pc].set(True)
         q_r = q_r.at[m].set(pr)
         q_c = q_c.at[m].set(pc)
-        q_t = q_t.at[m].set(matches.mtype[m])
-        q_col = q_col.at[m].set(matches.mcolour[m])
-        q_ok = q_ok.at[m].set(is_special_match)
-        return taken, q_r, q_c, q_t, q_col, q_ok
+        q_ok = q_ok.at[m].set(True)
+        return taken, q_r, q_c, q_ok
 
     zi = jnp.zeros((MM,), jnp.int32)
     taken0 = jnp.zeros((R, C), bool)
-    # Dynamic trip count: slots >= matches.count never contribute (is_special_
-    # match is False there), so iterating past count is pure waste — and MM is
-    # a worst-case capacity (~160 at 10x10) while count is typically <= 3.
-    # This loop runs once per cascade iteration, so the static bound dominated
-    # the whole cascade's cost.
-    _, q_r, q_c, q_t, q_col, q_ok = jax.lax.fori_loop(
+    _, q_r, q_c, q_ok = jax.lax.fori_loop(
         0,
-        jnp.minimum(matches.count, MM),
+        n_special,
         pick_body,
-        (taken0, zi, zi, zi, zi, jnp.zeros((MM,), bool)),
+        (taken0, zi, zi, jnp.zeros((MM,), bool)),
     )
+    q_t = matches.mtype
+    q_col = matches.mcolour
 
     # ---- phase 2: eliminate/activate, match by match, coord by coord
     # (`board.py:421-423` + `460-471`), via the activation machine ----------
