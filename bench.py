@@ -67,7 +67,10 @@ _SPEC_LABEL = (
     else ("full_specials" if COLOURLESS else "colour_specials")
 )
 
-BATCH = int(os.environ.get("TMT_BENCH_BATCH", "16384"))
+# Batch 1024 is the measured single-chip throughput optimum: the vmapped
+# while-loops run max-over-batch trip counts, which grow superlinearly with
+# batch (b8192 measured SLOWER in aggregate than b1024; see BENCH.md).
+BATCH = int(os.environ.get("TMT_BENCH_BATCH", "1024"))
 # Chunk of 8 keeps each device program well under the tunnel's execution
 # watchdog (long-running programs get the TPU worker killed; see BENCH.md).
 CHUNK = int(os.environ.get("TMT_BENCH_CHUNK", "8"))
