@@ -146,7 +146,17 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
     f_coords_L = jnp.where(f_live[:, None, None], lc, -1)  # [LM2, L, 2]
     fr0 = jnp.clip(f_coords_L[:, 0, 0], 0, R - 1)
     fc0 = jnp.clip(f_coords_L[:, 0, 1], 0, C - 1)
-    f_colour0 = jnp.where(f_live, colour[fr0, fc0], 0)
+    # first-coord colour via one-hot reduce (a batched [LM2]-index gather
+    # costs ~0.4ms/call on TPU; this is pure vector work)
+    ord0 = fr0 * C + fc0  # [LM2]
+    f_colour0 = jnp.where(
+        f_live,
+        jnp.sum(
+            (ord0[:, None] == cell_ids[None, :]) * colour.reshape(-1)[None, :],
+            axis=1,
+        ),
+        0,
+    )
     f_is_h = f_coords_L[:, 0, 0] == f_coords_L[:, 1, 0]
     f_laser_t = jnp.where(
         f_is_h & cfg.horizontal_laser,
@@ -361,7 +371,12 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
                 axis=1,
             )
             extra_ok = sel3_valid & (~in_line)
-            extra_pos = n + jnp.cumsum(extra_ok.astype(jnp.int32)) - 1
+            # unrolled 3-element cumsum (TPU lowers cumsum to a ~0.3ms
+            # reduce-window even at this size, and this runs per pop)
+            e_i = extra_ok.astype(jnp.int32)
+            extra_pos = n + jnp.stack(
+                [e_i[0], e_i[0] + e_i[1], e_i[0] + e_i[1] + e_i[2]]
+            ) - 1
             bomb_c = out_c
             for t in range(3):
                 pos = jnp.minimum(extra_pos[t], CM - 1)
@@ -384,8 +399,12 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
                 removed = removed | (kk == sel3[t])
             keep_mask = (~removed) & (kk < p_len)
             # stable compaction of kept coords (dropped ones scatter to the
-            # spill slot L, which is trimmed off)
-            dest = jnp.cumsum(keep_mask.astype(jnp.int32)) - 1
+            # spill slot L, which is trimmed off); cumsum via triangular
+            # multiply-reduce (cheaper than TPU's reduce-window lowering)
+            tri = kk[:, None] >= kk[None, :]  # [L, L]
+            dest = (
+                jnp.sum(tri * keep_mask.astype(jnp.int32)[None, :], axis=1) - 1
+            )
             scatter_idx = jnp.where(keep_mask, dest, L)
             new_p = (
                 jnp.full((L + 1, 2), -1, jnp.int32).at[scatter_idx].set(p_coords)[:L]

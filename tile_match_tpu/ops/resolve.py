@@ -169,7 +169,10 @@ def resolve_colour_matches(cfg: EnvConfig, colour, kind, matches: Matches):
         & (matches.mtype != MATCH_NORMAL)
         & (matches.mtype != 0)
     )  # [MM]
-    spec_rank = jnp.cumsum(is_special_slot.astype(jnp.int32))  # 1-based
+    tri_mm = mm_ids[:, None] >= mm_ids[None, :]  # [MM, MM]
+    spec_rank = jnp.sum(
+        tri_mm * is_special_slot.astype(jnp.int32)[None, :], axis=1
+    )  # 1-based cumulative rank (triangular reduce: no reduce-window)
     n_special = spec_rank[-1] if MM > 0 else jnp.int32(0)
 
     def pick_body(k, carry):
