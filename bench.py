@@ -17,9 +17,17 @@ XLA programs are cached persistently in .jax_cache so compile cost is paid
 once per program shape.  If no accelerator is reachable it falls back to CPU
 (tiny batch) rather than crashing, so the driver always gets its JSON line.
 Device-claim retries (`_TMT_BENCH_CLAIM_ATTEMPT`) are counted separately
-from execution retries (`_TMT_BENCH_EXEC_ATTEMPT`); only the latter walk
-the batch ladder, and the ladder is skipped entirely when the user pinned
-TMT_BENCH_BATCH or on the CPU fallback path.
+from execution retries (`_TMT_BENCH_EXEC_ATTEMPT`).
+
+The execution-retry ladder shrinks the CHUNK first (shorter dispatches are
+what survives a degraded tunnel worker — measured round 3) and keeps the
+batch at the b1024 throughput optimum; the batch drops only as a last
+resort, and after any success at a reduced batch the script attempts to
+climb back and re-measure at the full batch so the recorded number is the
+real optimum, not a degraded-run artifact (round 3 recorded 0.97x at b256
+when the true b1024 number was 1.6x).  The ladder is skipped entirely when
+the user pinned TMT_BENCH_BATCH/TMT_BENCH_CHUNK or on the CPU fallback
+path.
 
 Baseline: the reference env stepped on CPU.  numba is not installed in this
 image, so the reference runs de-jitted (no-op njit shim); its measured rate
@@ -55,8 +63,18 @@ CONFIGS = [
 
 def _config_index() -> int:
     if "--config" in sys.argv:
-        return int(sys.argv[sys.argv.index("--config") + 1])
-    return int(os.environ.get("TMT_BENCH_CONFIG", "3"))
+        idx = sys.argv.index("--config")
+        if idx + 1 >= len(sys.argv):
+            sys.exit("bench.py: --config requires an integer argument 0-4")
+        try:
+            n = int(sys.argv[idx + 1])
+        except ValueError:
+            sys.exit(f"bench.py: --config must be an integer, got {sys.argv[idx + 1]!r}")
+    else:
+        n = int(os.environ.get("TMT_BENCH_CONFIG", "3"))
+    if not 0 <= n < len(CONFIGS):
+        sys.exit(f"bench.py: config index {n} out of range 0-{len(CONFIGS) - 1}")
+    return n
 
 
 CFG_IDX = _config_index()
@@ -76,7 +94,7 @@ BATCH = int(os.environ.get("TMT_BENCH_BATCH", "1024"))
 CHUNK = int(os.environ.get("TMT_BENCH_CHUNK", "8"))
 STEPS = int(os.environ.get("TMT_BENCH_STEPS", "2"))
 REPS = int(os.environ.get("TMT_BENCH_REPS", "3"))
-MAX_RETRIES = int(os.environ.get("TMT_BENCH_RETRIES", "4"))
+MAX_RETRIES = int(os.environ.get("TMT_BENCH_RETRIES", "6"))
 
 
 def measure_reference_cpu(budget_s: float = 5.0) -> float:
@@ -228,7 +246,9 @@ def measure_ours(batch: int, chunk: int, steps: int, reps: int) -> float:
 
 def _reexec(counter_env: str) -> None:
     n = int(os.environ.get(counter_env, "0"))
-    time.sleep(30 * (n + 1))
+    # A crashed tunnel worker needs 1-3 min to recycle before a fresh claim
+    # can succeed (measured round 3) — waiting less just burns retries.
+    time.sleep(min(60 * (n + 1), 180))
     os.environ[counter_env] = str(n + 1)
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
@@ -246,27 +266,42 @@ def main():
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
     on_cpu = os.environ.get("JAX_PLATFORMS") == "cpu"
-    pinned = "TMT_BENCH_BATCH" in os.environ
+    pinned = "TMT_BENCH_BATCH" in os.environ or "TMT_BENCH_CHUNK" in os.environ
     batch = int(os.environ.get("TMT_BENCH_BATCH", "128" if on_cpu else str(BATCH)))
     chunk = int(os.environ.get("TMT_BENCH_CHUNK", "4" if on_cpu else str(CHUNK)))
     steps = int(os.environ.get("TMT_BENCH_STEPS", "2" if on_cpu else str(STEPS)))
-    # Batch ladder: a configuration whose per-chunk execution outlives the
-    # tunnel's watchdog kills the TPU worker (surfaces as UNAVAILABLE); retry
-    # at smaller batch in a fresh process (the poisoned backend cannot be
-    # recovered in-process).  Only EXECUTION failures walk the ladder; a
-    # pinned batch or the CPU fallback never shrinks.
-    if not pinned and not on_cpu:
-        ladder = [batch, batch // 4, batch // 16]
-        idx = min(exec_attempt, len(ladder) - 1)
-        batch = max(256, ladder[idx])
-    # Shorter dispatches survive a flaky TPU worker better: halve the chunk
-    # on each execution retry (unless the user pinned it), down to
-    # single-step dispatches.
-    if "TMT_BENCH_CHUNK" not in os.environ and not on_cpu and exec_attempt:
-        chunk = max(1, chunk >> exec_attempt)
+    # Execution-retry ladder, CHUNK FIRST: a long-running dispatch is what
+    # outlives the tunnel watchdog and kills the TPU worker (surfaces as
+    # UNAVAILABLE), and shorter dispatches are what survives a degraded
+    # worker — so retries shrink the per-dispatch chunk at the FULL batch
+    # (b1024 is the measured throughput optimum and must stay the recorded
+    # operating point), and only the final rungs reduce the batch.  Only
+    # EXECUTION failures walk the ladder; pinned settings and the CPU
+    # fallback never shrink.  (Round 3's ladder dropped batch first and
+    # recorded a 0.6x-smaller number — see module docstring.)
+    if not pinned and not on_cpu and exec_attempt:
+        ladder = [
+            (batch, chunk),
+            (batch, max(1, chunk // 2)),
+            (batch, max(1, chunk // 4)),
+            (batch, 1),
+            (max(256, batch // 4), 1),
+            (256, 1),
+        ]
+        batch, chunk = ladder[min(exec_attempt, len(ladder) - 1)]
     try:
         sps = measure_ours(batch, chunk, steps, REPS)
         label = f"b{batch}"
+        # Climb-back: if the ladder degraded the batch, the worker is now
+        # proven healthy enough for short dispatches — re-attempt the full
+        # batch (still at the degraded chunk) so the recorded number is the
+        # b1024 optimum whenever it is measurable at all.
+        if not pinned and not on_cpu and batch < BATCH:
+            try:
+                sps_full = measure_ours(BATCH, chunk, steps, REPS)
+                sps, label = sps_full, f"b{BATCH}"
+            except Exception:
+                pass  # keep the degraded-batch measurement already in hand
     except Exception:
         if claim_attempt + exec_attempt < MAX_RETRIES:
             _reexec("_TMT_BENCH_EXEC_ATTEMPT")
