@@ -45,12 +45,21 @@ def main():
         out = fn(jax.random.PRNGKey(0))
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        out = fn(jax.random.PRNGKey(1))
-        jax.block_until_ready(out)
+        _, rew, stats = fn(jax.random.PRNGKey(1))
+        # fetching values is the only trustworthy sync on every backend
+        total = float(rew.sum())
+        shard_max = [float(x) for x in stats["shard_max_trips"]]
+        trips_sum = float(stats["trips_sum"])
         dt = time.perf_counter() - t0
         sps = B * args.steps / dt
         if base_sps is None:
             base_sps = sps
+        # Per-shard executed trips (sum over steps of max-over-shard-boards):
+        # at fixed per-device batch this should be ~independent of dp — each
+        # shard's while_loop runs its own max, with no cross-shard coupling —
+        # which is the analytic basis for ~linear weak scaling on real chips
+        # (virtual CPU meshes share silicon, so wall-clock efficiency there
+        # measures sharding overhead, not hardware scaling).
         print(
             json.dumps(
                 {
@@ -58,6 +67,13 @@ def main():
                     "global_batch": B,
                     "steps_per_sec": round(sps, 1),
                     "scaling_efficiency": round(sps / (base_sps * dp), 3),
+                    "total_reward": total,
+                    "mean_trips_per_board_step": round(
+                        trips_sum / (B * args.steps), 3
+                    ),
+                    "shard_max_trips_per_step": [
+                        round(x / args.steps, 2) for x in shard_max
+                    ],
                 }
             )
         )

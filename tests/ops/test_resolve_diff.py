@@ -140,7 +140,7 @@ def test_resolve_fuzz(seed):
         return
     ref.resolve_colour_matches(locs, types, cols)
 
-    col2, kn2, act, new = _jit_resolve(*shape, colours)(colour, kind)
+    col2, kn2, act, new, _ovf = _jit_resolve(*shape, colours)(colour, kind)
     assert np.array_equal(np.asarray(col2), ref.board[0]), (
         f"seed={seed}\ncolour=\n{colour}\nkind=\n{kind}\n"
         f"ref=\n{ref.board[0]}\ngot=\n{np.asarray(col2)}"
@@ -199,7 +199,7 @@ def test_combination_fuzz(pair_i, seed):
     ref = _ref_board(colour, kind, colours)
     ref.combination_match(c1, c2)
 
-    col2, kn2, act = _jit_combo(*shape, colours)(
+    col2, kn2, act, _ovf = _jit_combo(*shape, colours)(
         colour, kind, np.array(c1, np.int32), np.array(c2, np.int32)
     )
     assert np.array_equal(np.asarray(col2), ref.board[0]), (

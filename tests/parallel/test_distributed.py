@@ -24,14 +24,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_mean():
-    addr = f"127.0.0.1:{_free_port()}"
-    env = {
-        k: v
-        for k, v in os.environ.items()
-        if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS")
-    }
-    env["JAX_PLATFORMS"] = "cpu"
+def _spawn_workers(addr, env):
+    """Run both workers to completion; returns (ok, outs, last_err)."""
     procs = [
         subprocess.Popen(
             [sys.executable, _WORKER, addr, "2", str(pid)],
@@ -42,7 +36,8 @@ def test_two_process_distributed_mean():
         )
         for pid in range(2)
     ]
-    outs = []
+    outs, last_err = [], ""
+    ok = True
     for p in procs:
         try:
             out, err = p.communicate(timeout=240)
@@ -50,8 +45,29 @@ def test_two_process_distributed_mean():
             for q in procs:
                 q.kill()
             raise
-        assert p.returncode == 0, f"worker failed:\n{err}"
-        outs.append(json.loads(out.strip().splitlines()[-1]))
+        if p.returncode != 0:
+            ok, last_err = False, err
+        else:
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+    return ok, outs, last_err
+
+
+def test_two_process_distributed_mean():
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS")
+    }
+    env["JAX_PLATFORMS"] = "cpu"
+    # _free_port closes the probe socket before the coordinator binds it
+    # (TOCTOU): another process can grab the port in between, so a bind
+    # failure retries the whole spawn with a fresh port.
+    last_err = ""
+    for _ in range(3):
+        ok, outs, last_err = _spawn_workers(f"127.0.0.1:{_free_port()}", env)
+        if ok:
+            break
+    assert ok, f"workers failed on 3 ports:\n{last_err}"
 
     for pid, o in enumerate(outs):
         assert o["initialized"] is True

@@ -75,7 +75,7 @@ def test_resolve_matches(seed):
     stats = np.zeros((2,), np.int32)
     had = lib.tmt_resolve_once(c2, k2, shape[0], shape[1], _flags(cfg), stats)
 
-    jc, jk, act, new = _jax_fns(cfg)["resolve"](colour, kind)
+    jc, jk, act, new, _ovf = _jax_fns(cfg)["resolve"](colour, kind)
     if not had:
         assert int(act) == 0 and int(new) == 0
         return
@@ -104,7 +104,7 @@ def test_combination_matches(seed):
 
     cc2, kk2 = colour.copy(), kind.copy()
     act = lib.tmt_combination(cc2, kk2, 6, 6, c1[0], c1[1], c2_[0], c2_[1])
-    jc, jk, jact = _jax_fns(cfg)["combination"](
+    jc, jk, jact, _ovf = _jax_fns(cfg)["combination"](
         colour, kind, np.asarray(c1, np.int32), np.asarray(c2_, np.int32)
     )
     assert np.array_equal(cc2, np.asarray(jc)), (

@@ -131,6 +131,41 @@ def test_classify_append_overflow_fires():
     assert "classify queue overflow" in _err_msg(err)
 
 
+def test_truncated_flag_set_on_cascade_cap():
+    """StepInfo.truncated observes cap truncation WITHOUT debug_checks:
+    max_cascades=0 leaves the post-swap match unresolved → flag set."""
+    import jax
+    from tile_match_tpu.engine import reset, step
+
+    cfg = EnvConfig(5, 5, 3, num_moves=10, max_cascades=0)
+    state, info = reset(cfg, jax.random.PRNGKey(0))
+    assert not bool(info.truncated)
+    action = int(np.flatnonzero(np.asarray(info.effective_actions))[0])
+    _, _, _, info2 = jax.jit(lambda s, a: step(cfg, s, a))(
+        state, jnp.int32(action)
+    )
+    assert bool(info2.truncated)
+
+
+def test_truncated_flag_clean_on_normal_step():
+    import jax
+    from tile_match_tpu.engine import reset, step
+
+    cfg = EnvConfig.create(
+        5, 5, 3, 10,
+        colourless_specials=("cookie",),
+        colour_specials=("vertical_laser", "horizontal_laser", "bomb"),
+    )
+    state, info = reset(cfg, jax.random.PRNGKey(1))
+    assert not bool(info.truncated)
+    stepf = jax.jit(lambda s, a: step(cfg, s, a))
+    for _ in range(5):
+        mask = np.asarray(info.effective_actions)
+        action = int(np.flatnonzero(mask)[0]) if mask.any() else 0
+        state, _, _, info = stepf(state, jnp.int32(action))
+        assert not bool(info.truncated)
+
+
 def test_checked_step_catches_cascade_truncation():
     """max_cascades=0 leaves the post-swap match unresolved; the
     checked_step post-invariant ("matches remain after step") fires."""

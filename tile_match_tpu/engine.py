@@ -55,6 +55,9 @@ def make_playable(cfg: EnvConfig, colour, kind, key, init_has_lines, init_top):
     condition needs the full mask anyway (`possible_move` = any of it), so it
     is carried through the loop and handed back for the caller to reuse as
     the post-move mask instead of recomputing the step's largest kernel.
+
+    Also returns ``gave_up``: True iff the iteration cap stopped the loop
+    while the board was still unplayable/matchy (feeds StepInfo.truncated).
     """
     R = cfg.num_rows
 
@@ -87,7 +90,7 @@ def make_playable(cfg: EnvConfig, colour, kind, key, init_has_lines, init_top):
         return colour, kind, key, mask, has_lines, top, shuffled, it + 1
 
     mask0 = effective_mask(cfg, colour, kind)
-    colour, kind, key, mask, _, _, shuffled, _ = jax.lax.while_loop(
+    colour, kind, key, mask, has_lines, _, shuffled, _ = jax.lax.while_loop(
         cond,
         body,
         (
@@ -101,7 +104,8 @@ def make_playable(cfg: EnvConfig, colour, kind, key, init_has_lines, init_top):
             jnp.int32(0),
         ),
     )
-    return colour, kind, key, shuffled, mask
+    gave_up = (~jnp.any(mask)) | has_lines  # cond still true at the cap
+    return colour, kind, key, shuffled, mask, gave_up
 
 
 def generate_board(cfg: EnvConfig, key):
@@ -115,10 +119,10 @@ def generate_board(cfg: EnvConfig, key):
     colour = draw_colour_grid(k, cfg)
     kind = jnp.ones((cfg.num_rows, cfg.num_cols), jnp.int32)
     has_lines, top = first_line_info(cfg, colour)
-    colour, kind, key, _, mask = make_playable(
+    colour, kind, key, _, mask, gave_up = make_playable(
         cfg, colour, kind, key, has_lines, top
     )
-    return colour, kind, key, mask
+    return colour, kind, key, mask, gave_up
 
 
 def engine_move(cfg: EnvConfig, colour, kind, key, coord1, coord2, eff, cur_mask):
@@ -129,8 +133,10 @@ def engine_move(cfg: EnvConfig, colour, kind, key, coord1, coord2, eff, cur_mask
     it — it decided ``eff``); returned unchanged for a no-op move.
 
     Returns (colour, kind, key, eliminations, is_comb, new_specials,
-    activated, shuffled, post_mask) — ``post_mask`` is the effective-action
-    mask of the returned board (free by-product of the playability loop).
+    activated, shuffled, post_mask, truncated, trips) — ``post_mask`` is the
+    effective-action mask of the returned board (free by-product of the
+    playability loop); ``truncated`` is the sticky any-capacity-cap-hit
+    flag; ``trips`` is the cascade loop's iteration count.
     """
     flat = cfg.flat_size
 
@@ -147,6 +153,8 @@ def engine_move(cfg: EnvConfig, colour, kind, key, coord1, coord2, eff, cur_mask
             z,
             jnp.asarray(False),
             cur_mask,
+            jnp.asarray(False),
+            z,
         )
 
     def do_move(args):
@@ -158,19 +166,22 @@ def engine_move(cfg: EnvConfig, colour, kind, key, coord1, coord2, eff, cur_mask
 
             def run_comb(args):
                 colour, kind, key = args
-                colour, kind, act = combination_match(
+                colour, kind, act, ovf = combination_match(
                     cfg, colour, kind, coord1, coord2
                 )
                 elim = flat - jnp.count_nonzero(kind).astype(jnp.int32)
                 colour, kind = gravity(colour, kind)
                 colour, kind, key = _refill_native(cfg, colour, kind, key)
-                return colour, kind, key, elim, act
+                return colour, kind, key, elim, act, ovf
 
             def skip_comb(args):
                 colour, kind, key = args
-                return colour, kind, key, jnp.int32(0), jnp.int32(0)
+                return (
+                    colour, kind, key, jnp.int32(0), jnp.int32(0),
+                    jnp.asarray(False),
+                )
 
-            colour, kind, key, elim, activated = jax.lax.cond(
+            colour, kind, key, elim, activated, trunc = jax.lax.cond(
                 comb, run_comb, skip_comb, (colour, kind, key)
             )
         else:
@@ -178,46 +189,59 @@ def engine_move(cfg: EnvConfig, colour, kind, key, coord1, coord2, eff, cur_mask
             comb = jnp.asarray(False)
             elim = jnp.int32(0)
             activated = jnp.int32(0)
+            trunc = jnp.asarray(False)
 
         # cascade: detect → resolve → gravity → refill until no matches
         # (`board.py:367-376`), bounded by max_cascades.
         def casc_cond(carry):
-            colour, kind, key, elim, activated, new, it = carry
+            colour, kind, key, elim, activated, new, trunc, it = carry
             return has_any_line(cfg, colour, kind) & (it < cfg.max_cascades)
 
         def casc_body(carry):
-            colour, kind, key, elim, activated, new, it = carry
+            colour, kind, key, elim, activated, new, trunc, it = carry
             ls = get_colour_lines(cfg, colour, kind)
             m = process_colour_lines(cfg, colour, ls)
-            colour, kind, act_d, new_d = resolve_colour_matches(
+            colour, kind, act_d, new_d, r_ovf = resolve_colour_matches(
                 cfg, colour, kind, m
             )
+            trunc = trunc | m.ovf | r_ovf  # m.ovf folds in ls.ovf
             elim = elim + flat - jnp.count_nonzero(kind).astype(jnp.int32)
             colour, kind = gravity(colour, kind)
             colour, kind, key = _refill_native(cfg, colour, kind, key)
-            return colour, kind, key, elim, activated + act_d, new + new_d, it + 1
+            return (
+                colour, kind, key, elim, activated + act_d, new + new_d,
+                trunc, it + 1,
+            )
 
-        colour, kind, key, elim, activated, new, _ = jax.lax.while_loop(
+        colour, kind, key, elim, activated, new, trunc, trips = jax.lax.while_loop(
             casc_cond,
             casc_body,
-            (colour, kind, key, elim, activated, jnp.int32(0), jnp.int32(0)),
+            (
+                colour, kind, key, elim, activated, jnp.int32(0), trunc,
+                jnp.int32(0),
+            ),
         )
+        # lines surviving the loop exit = the cascade cap truncated them
+        trunc = trunc | has_any_line(cfg, colour, kind)
 
         # new specials filled holes → count as eliminations (`board.py:378`).
         elim = elim + new
 
         # playability loop (`board.py:381-391`): initial line state is empty.
-        colour, kind, key, shuffled, post_mask = make_playable(
+        colour, kind, key, shuffled, post_mask, gave_up = make_playable(
             cfg, colour, kind, key, jnp.asarray(False), jnp.int32(0)
         )
-        return colour, kind, key, elim, comb, new, activated, shuffled, post_mask
+        return (
+            colour, kind, key, elim, comb, new, activated, shuffled,
+            post_mask, trunc | gave_up, trips,
+        )
 
     return jax.lax.cond(eff, do_move, no_op, (colour, kind, key))
 
 
 def reset(cfg: EnvConfig, key) -> Tuple[EnvState, StepInfo]:
     """``TileMatchEnv.reset`` (`tile_match_env.py:84-91`)."""
-    colour, kind, key, mask = generate_board(cfg, key)
+    colour, kind, key, mask, gave_up = generate_board(cfg, key)
     state = EnvState(colour=colour, kind=kind, timer=jnp.int32(0), key=key)
     info = StepInfo(
         is_combination_match=jnp.asarray(False),
@@ -225,6 +249,8 @@ def reset(cfg: EnvConfig, key) -> Tuple[EnvState, StepInfo]:
         num_specials_activated=jnp.int32(0),
         shuffled=jnp.asarray(False),
         effective_actions=mask,
+        truncated=gave_up,
+        cascade_trips=jnp.int32(0),
     )
     return state, info
 
@@ -261,7 +287,10 @@ def step(
     )
     eff = mask_before[action]
 
-    colour, kind, key, elim, comb, new, act, shuffled, post_mask = engine_move(
+    (
+        colour, kind, key, elim, comb, new, act, shuffled, post_mask, trunc,
+        trips,
+    ) = engine_move(
         cfg, state.colour, state.kind, state.key, c1, c2, eff, mask_before
     )
 
@@ -284,6 +313,8 @@ def step(
         num_specials_activated=act,
         shuffled=shuffled,
         effective_actions=mask_after,
+        truncated=trunc,
+        cascade_trips=trips,
     )
     return next_state, elim, done, info
 

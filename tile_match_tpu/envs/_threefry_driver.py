@@ -49,7 +49,7 @@ class ThreefryDriver:
         return self._board[1]
 
     def generate_board(self) -> None:
-        colour, kind, key, _mask = self._gen(self.key)
+        colour, kind, key, _mask, _gave_up = self._gen(self.key)
         self._board[0] = np.asarray(colour)
         self._board[1] = np.asarray(kind)
         self.key = key
@@ -72,7 +72,10 @@ class ThreefryDriver:
             raise ValueError(f"Invalid move: {coord1}, {coord2}")
         cur_mask = self.effective_mask()
         eff = bool(cur_mask[int(idx[0])])
-        colour, kind, key, elim, comb, new, act, shuf, _post = self._mv(
+        (
+            colour, kind, key, elim, comb, new, act, shuf, _post, _trunc,
+            _trips,
+        ) = self._mv(
             self.colour,
             self.kind,
             self.key,

@@ -82,7 +82,7 @@ def batched_step(
             def regen(op):
                 s, m = op
                 key, k = jax.random.split(s.key)
-                colour, kind, key, mask = generate_board(cfg, k)
+                colour, kind, key, mask, _gave_up = generate_board(cfg, k)
                 return (
                     EnvState(colour=colour, kind=kind, timer=jnp.int32(0), key=key),
                     mask,

@@ -48,8 +48,10 @@ OP_MASKSCAN = 5
 OP_BOMB2 = 6
 
 # Machine state tuple layout:
-#   (colour, kind, count, f_op, f_r, f_c, f_idx, f_colour, f_counted, sp)
-# where f_* are i32[stack_max] frame arrays and sp is the stack pointer.
+#   (colour, kind, count, f_op, f_r, f_c, f_idx, f_colour, f_counted, ovf, sp)
+# where f_* are i32[stack_max] frame arrays, ovf is the sticky truncation
+# flag (dropped push / exhausted step budget) and sp is the stack pointer.
+# External consumers rely only on st[0..2] and st[-1]/st[-2].
 
 
 def empty_stack(cfg: EnvConfig):
@@ -72,31 +74,35 @@ def machine_init(cfg: EnvConfig, colour, kind, count=0):
         f_idx,
         f_col,
         f_cnt,
+        jnp.asarray(False),  # ovf
         sp,
     )
 
 
 def push_frame(st, op, r, c, counted, pred=True, idx=-1, fcolour=0):
     """Push one frame when ``pred`` holds (disabled pushes hit the DUMP slot)."""
-    colour, kind, count, f_op, f_r, f_c, f_idx, f_col, f_cnt, sp = st
+    colour, kind, count, f_op, f_r, f_c, f_idx, f_col, f_cnt, ovf, sp = st
     p = jnp.asarray(pred)
     SM = f_op.shape[0] - 1  # last slot is the dump
-    # overflowing pushes (sp >= SM) are dropped into the dump, preserving
-    # the previous OOB-scatter-drop behaviour (observable via debug_checks)
-    i = jnp.where(p & (sp < SM), sp, SM)
+    # overflowing pushes (sp >= SM) land in the dump slot AND leave sp
+    # unchanged, so they are true drops: the next pop never reads the dumped
+    # frame.  Only reachable beyond stack_max (debug_checks flags it).
+    ok = p & (sp < SM)
+    i = jnp.where(ok, sp, SM)
     f_op = f_op.at[i].set(jnp.asarray(op, jnp.int32))
     f_r = f_r.at[i].set(jnp.asarray(r, jnp.int32))
     f_c = f_c.at[i].set(jnp.asarray(c, jnp.int32))
     f_idx = f_idx.at[i].set(jnp.asarray(idx, jnp.int32))
     f_col = f_col.at[i].set(jnp.asarray(fcolour, jnp.int32))
     f_cnt = f_cnt.at[i].set(jnp.asarray(counted, jnp.int32))
-    sp = sp + p.astype(jnp.int32)
-    return (colour, kind, count, f_op, f_r, f_c, f_idx, f_col, f_cnt, sp)
+    sp = sp + ok.astype(jnp.int32)
+    ovf = ovf | (p & ~ok)  # a requested push that was dropped
+    return (colour, kind, count, f_op, f_r, f_c, f_idx, f_col, f_cnt, ovf, sp)
 
 
 def machine_step(cfg: EnvConfig, st):
     """One micro-step of the activation machine (requires sp > 0)."""
-    colour, kind, count, f_op, f_r, f_c, f_idx, f_col, f_cnt, sp = st
+    colour, kind, count, f_op, f_r, f_c, f_idx, f_col, f_cnt, ovf, sp = st
     R, C = cfg.num_rows, cfg.num_cols
     K = cfg.num_colours
     top = sp - 1
@@ -208,7 +214,7 @@ def machine_step(cfg: EnvConfig, st):
             "stack_max overflow: activation frame dropped at depth {d}",
             d=sp2,
         )
-    st2 = (colour, kind, count, f_op, f_r, f_c, f_idx, f_col, f_cnt, sp2)
+    st2 = (colour, kind, count, f_op, f_r, f_c, f_idx, f_col, f_cnt, ovf, sp2)
     st2 = push_frame(
         st2, skind, sr, sc, child_counted, pred=do_push, idx=-1, fcolour=0
     )
@@ -228,6 +234,8 @@ def run_machine(cfg: EnvConfig, st):
         return it + 1, machine_step(cfg, st)
 
     _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+    # a non-empty stack after the loop = the step budget truncated the chain
+    st = st[:-2] + (st[-2] | (st[-1] > 0), st[-1])
     if cfg.debug_checks:
         from jax.experimental import checkify
 

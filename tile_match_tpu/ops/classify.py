@@ -58,6 +58,7 @@ class Matches:
     mtype: jnp.ndarray  # i32[MM] (MATCH_* codes)
     mcolour: jnp.ndarray  # i32[MM]
     count: jnp.ndarray  # i32 scalar
+    ovf: jnp.ndarray = False  # bool: queue append or emission capacity hit
 
 
 def _coord_eq(a, b):
@@ -232,7 +233,7 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
     def body(carry):
         (
             lo, lc, ll, bmask, lroot, llev, atail, next_order,
-            mc, mlen, mt, mcol, mkey, mcount,
+            mc, mlen, mt, mcol, mkey, mcount, movf,
         ) = carry
 
         sel = jnp.argmin(lo)
@@ -301,11 +302,13 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
 
         # --- cookie remainder append ---------------------------------------
         rem_len = n - 5
+        # a needed re-append with no free slot silently drops the cookie
+        # line's remainder (`board.py:291-292` re-appends freely) — flagged
+        # sticky for StepInfo.truncated, checked hard under debug_checks
+        movf = movf | (cookie_case & (rem_len > 2) & (atail >= LM2))
         if cfg.debug_checks:
             from jax.experimental import checkify
 
-            # a needed re-append with no free slot would silently drop the
-            # cookie line's remainder (`board.py:291-292` re-appends freely)
             checkify.check(
                 ~(cookie_case & (rem_len > 2) & (atail >= LM2)),
                 "classify queue overflow: cookie remainder dropped",
@@ -433,7 +436,7 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
 
         return (
             lo, lc, ll, bmask, lroot, llev, atail, next_order,
-            mc, mlen, mt, mcol, mkey, mcount,
+            mc, mlen, mt, mcol, mkey, mcount, movf,
         )
 
     if not cfg.bomb:
@@ -455,9 +458,10 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
         jnp.concatenate([m_colour, jnp.zeros((1,), jnp.int32)]),
         jnp.full((MM + 1,), BIG, jnp.int32),  # mkey (padded)
         jnp.int32(0),
+        jnp.asarray(False),  # movf: sticky append-overflow flag
     )
     out = jax.lax.while_loop(cond, body, init)
-    (_, _, _, _, _, _, _, _, mc, mlen, mt, mcol, mkey, mcount) = out
+    (_, _, _, _, _, _, _, _, mc, mlen, mt, mcol, mkey, mcount, movf) = out
     # trim the dump slots
     mc, mlen, mt, mcol, mkey = (
         mc[:MM], mlen[:MM], mt[:MM], mcol[:MM], mkey[:MM],
@@ -473,14 +477,15 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
     cat_type = jnp.concatenate([all_type, mt])
     cat_colour = jnp.concatenate([all_colour, mcol])
     cat_coords = jnp.concatenate([all_coords, mc])  # [NF+MM, CM, 2]
+    # total emissions beyond MM would be silently truncated by the
+    # perm[:MM] slice below (cannot happen within the append budget:
+    # fast + machine emissions together mirror sequential pops <= LM2)
+    emit_ovf = jnp.sum((cat_key < BIG).astype(jnp.int32)) > MM
     if cfg.debug_checks:
         from jax.experimental import checkify
 
-        # total emissions beyond MM would be silently truncated by the
-        # perm[:MM] slice below (cannot happen within the append budget:
-        # fast + machine emissions together mirror sequential pops <= LM2)
         checkify.check(
-            jnp.sum((cat_key < BIG).astype(jnp.int32)) <= MM,
+            ~emit_ovf,
             "classify emission overflow: more than MM live matches",
         )
     perm = jnp.argsort(cat_key)[:MM]  # total live emissions <= MM
@@ -502,4 +507,5 @@ def process_colour_lines(cfg: EnvConfig, colour, lineset: LineSet) -> Matches:
         mtype=out_type,
         mcolour=out_colour,
         count=out_count,
+        ovf=movf | emit_ovf | lineset.ovf,
     )

@@ -40,7 +40,11 @@ def is_combination(kind, coord1, coord2):
 
 
 def combination_match(cfg: EnvConfig, colour, kind, coord1, coord2):
-    """Execute a combination match. Returns (colour, kind, activated_delta)."""
+    """Execute a combination match.
+
+    Returns (colour, kind, activated_delta, ovf) — ``ovf`` is the activation
+    machine's sticky truncation flag (dropped frame / step budget).
+    """
     R, C = cfg.num_rows, cfg.num_cols
     r1, c1 = coord1[0], coord1[1]
     r2, c2 = coord2[0], coord2[1]
@@ -137,4 +141,4 @@ def combination_match(cfg: EnvConfig, colour, kind, coord1, coord2):
     # `board.py:609` +2 in all cases; cookie+normal corrects by -1
     # (`board.py:641`).
     activated = 2 + chained - jnp.where(case_cn, 1, 0)
-    return colour_out, kind_out, activated
+    return colour_out, kind_out, activated, st[-2]

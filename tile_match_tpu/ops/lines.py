@@ -34,6 +34,7 @@ class LineSet:
     coords: jnp.ndarray  # i32[LM, L, 2]; (-1, -1) padded
     length: jnp.ndarray  # i32[LM]; 0 for unused slots
     count: jnp.ndarray  # i32 scalar
+    ovf: jnp.ndarray = False  # bool: detected lines exceeded lines_max
 
 
 def get_colour_lines(cfg: EnvConfig, colour, kind) -> LineSet:
@@ -125,12 +126,13 @@ def get_colour_lines(cfg: EnvConfig, colour, kind) -> LineSet:
     )
     e_len = jnp.concatenate([h_ext_len.reshape(-1), v_ext_len.reshape(-1)])
 
+    n_ext_all = jnp.sum((e_ord < BIG).astype(jnp.int32))
+    ovf = n_primary + n_ext_all > LM  # sticky-flag signal (StepInfo.truncated)
     if cfg.debug_checks:
         from jax.experimental import checkify
 
-        n_ext_all = jnp.sum((e_ord < BIG).astype(jnp.int32))
         checkify.check(
-            n_primary + n_ext_all <= LM,
+            ~ovf,
             "lines_max overflow: {n} detected lines exceed capacity {cap}",
             n=n_primary + n_ext_all,
             cap=jnp.int32(LM),
@@ -184,7 +186,7 @@ def get_colour_lines(cfg: EnvConfig, colour, kind) -> LineSet:
         [jnp.where(in_len, rr, -1), jnp.where(in_len, cc, -1)], axis=-1
     ).astype(jnp.int32)
 
-    return LineSet(coords=coords, length=d_len, count=count)
+    return LineSet(coords=coords, length=d_len, count=count, ovf=ovf)
 
 
 def first_line_info(cfg: EnvConfig, colour):

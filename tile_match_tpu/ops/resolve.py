@@ -55,6 +55,7 @@ def _resolve_all_normal(cfg: EnvConfig, colour, kind, matches: Matches):
         jnp.where(mask, 0, kind),
         jnp.int32(0),
         jnp.int32(0),
+        jnp.asarray(False),
     )
 
 
@@ -112,7 +113,10 @@ def _creation_pos(cfg: EnvConfig, match_coords, n, is_bomb, taken):
 def resolve_colour_matches(cfg: EnvConfig, colour, kind, matches: Matches):
     """Full resolution of one cascade iteration's matches.
 
-    Returns (colour, kind, num_specials_activated_delta, num_new_specials_delta).
+    Returns (colour, kind, num_specials_activated_delta,
+    num_new_specials_delta, ovf) — ``ovf`` is the activation machine's sticky
+    truncation flag (a dropped stack frame; the phase-2 loop itself runs to
+    completion).
 
     With every special disabled (static), resolution degenerates exactly to
     "delete the union of all match coordinates": no creation queue, no
@@ -277,6 +281,7 @@ def resolve_colour_matches(cfg: EnvConfig, colour, kind, matches: Matches):
     colour = jnp.where(has_special_in_matches, st[0], colour_fast)
     kind = jnp.where(has_special_in_matches, st[1], kind_fast)
     activated = st[2]
+    ovf = has_special_in_matches & st[-2]
 
     # ---- phase 3: create the queued specials (`board.py:426-427`) ---------
     # Positions are unique (taken-set), so a one-hot multiply-reduce writes
@@ -292,4 +297,4 @@ def resolve_colour_matches(cfg: EnvConfig, colour, kind, matches: Matches):
     kind = jnp.where(anyhit, hkind, kind)
     num_new = jnp.sum(q_ok.astype(jnp.int32))
 
-    return colour, kind, activated, num_new
+    return colour, kind, activated, num_new, ovf

@@ -52,9 +52,23 @@ def sharded_rollout(
 ):
     """Build a jitted sharded rollout: envs sharded over dp, replicated over tp.
 
-    Returns fn(key) -> (final_states, total_reward, steps_done) with the env
-    batch laid out over the mesh; the only cross-device op is the final metric
-    reduction.
+    Returns fn(key) -> (final_states, per_board_reward, stats):
+
+    * per_board_reward: f32[global_batch], total reward per board — callers
+      wanting the scalar sum take ``.sum()``; per-board totals let multichip
+      correctness be asserted board by board instead of as one sum.
+    * stats: dict with ``steps_done`` (i32 scalar), ``trips_sum`` (f32 scalar,
+      cascade trips summed over boards and steps) and ``shard_max_trips``
+      (f32[dp]; per dp-shard, the sum over steps of that shard's max-over-its-
+      boards cascade trips).  A vmapped ``while_loop`` executes the max trip
+      count over the boards it batches, so each shard's *executed* trips per
+      step is its own max — ``shard_max_trips`` is therefore the quantity
+      that weak-scales: it depends on the per-device batch, not on dp, and
+      comparing it across dp at fixed per-device batch substantiates (or
+      refutes) linear scaling without real multi-chip hardware.
+
+    The step path inserts no collectives; only the final metric reductions
+    cross devices.
     """
     dp = mesh.shape["dp"]
     if global_batch % dp:
@@ -67,7 +81,7 @@ def sharded_rollout(
         states, ts = batched_reset(cfg, key, global_batch)
 
         def body(carry, _):
-            states, ts, key, total = carry
+            states, ts, key, rew, trips_sum, shard_max = carry
             key, ka = jax.random.split(key)
             mask = ts.info.effective_actions
             logits = jnp.where(mask, 0.0, -jnp.inf)
@@ -77,27 +91,52 @@ def sharded_rollout(
                 0,
             ).astype(jnp.int32)
             states, ts = batched_step(cfg, states, acts, eff_mask=mask)
-            return (states, ts, key, total + ts.reward.sum()), None
+            trips = ts.info.cascade_trips.astype(jnp.float32)  # [B]
+            trips_sum = trips_sum + trips.sum()
+            shard_max = shard_max + trips.reshape(dp, -1).max(axis=1)
+            return (
+                states, ts, key, rew + ts.reward, trips_sum, shard_max,
+            ), None
 
-        (states, ts, _, total), _ = jax.lax.scan(
+        (states, ts, _, rew, trips_sum, shard_max), _ = jax.lax.scan(
             body,
-            (states, ts, key, jnp.float32(0.0)),
+            (
+                states,
+                ts,
+                key,
+                jnp.zeros((global_batch,), jnp.float32),
+                jnp.float32(0.0),
+                jnp.zeros((dp,), jnp.float32),
+            ),
             None,
             length=num_steps,
         )
-        return states, total, jnp.int32(num_steps * global_batch)
+        stats = {
+            "steps_done": jnp.int32(num_steps * global_batch),
+            "trips_sum": trips_sum,
+            "shard_max_trips": shard_max,
+        }
+        return states, rew, stats
 
     # Constrain the env batch to the dp axis; XLA partitions the whole scan.
     def sharded(key):
-        states, total, n = rollout_fn(key)
+        states, rew, stats = rollout_fn(key)
         states = jax.lax.with_sharding_constraint(
             states, batch_sharding
         )
-        return states, total, n
+        return states, rew, stats
 
     return jax.jit(
         sharded,
-        out_shardings=(batch_sharding, replicated, replicated),
+        out_shardings=(
+            batch_sharding,
+            batch_sharding,
+            {
+                "steps_done": replicated,
+                "trips_sum": replicated,
+                "shard_max_trips": replicated,
+            },
+        ),
     )
 
 

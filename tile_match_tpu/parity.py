@@ -50,7 +50,7 @@ def _kernels(cfg: EnvConfig):
 
     @jax.jit
     def k_comb(colour, kind, c1, c2):
-        colour, kind, act = combination_match(cfg, colour, kind, c1, c2)
+        colour, kind, act, _ovf = combination_match(cfg, colour, kind, c1, c2)
         # eliminations = flat_size - count_nonzero(kind) (`board.py:362`)
         n_empty = (kind == 0).sum()
         colour, kind = gravity(colour, kind)
@@ -61,7 +61,7 @@ def _kernels(cfg: EnvConfig):
         ls = get_colour_lines(cfg, colour, kind)
         m = process_colour_lines(cfg, colour, ls)
         had = m.count > 0
-        colour, kind, act, new = resolve_colour_matches(cfg, colour, kind, m)
+        colour, kind, act, new, _ovf = resolve_colour_matches(cfg, colour, kind, m)
         # eliminations counted before gravity (`board.py:374`)
         n_empty = (kind == 0).sum()
         colour, kind = gravity(colour, kind)

@@ -44,6 +44,20 @@ class StepInfo:
     num_specials_activated: jnp.ndarray  # i32
     shuffled: jnp.ndarray  # bool
     effective_actions: jnp.ndarray  # bool[num_actions] mask
+    # Sticky production-mode overflow flag (no reference counterpart): True
+    # iff any capacity cap truncated this step — line queue, classify
+    # append/emission, activation stack/step budget, cascade or regeneration
+    # iteration cap.  The reference's structures are unbounded Python
+    # lists/recursion; the caps are fuzz-sized to never fire in practice
+    # (`config.py`), and this flag makes a cap ever firing observable
+    # without ``debug_checks``/checkify overhead.
+    truncated: jnp.ndarray = False  # bool
+    # Cascade while_loop trips this step (0 for no-op moves).  Under vmap
+    # each board reports its OWN trip count while the lockstep batch executes
+    # the max over the batch — the gap between the two is the vmap
+    # worst-case-serialisation cost, and per-shard maxima are what the
+    # weak-scaling model needs (see parallel/sharding.py).
+    cascade_trips: jnp.ndarray = 0  # i32
 
 
 def action_table(cfg: EnvConfig) -> tuple[np.ndarray, np.ndarray]:
