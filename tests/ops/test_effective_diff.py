@@ -84,3 +84,97 @@ def test_fuzz(seed, shape, colours):
             if k == -1:
                 colour[r, c] = 0
     check(colour, kind)
+
+
+# ---------------------------------------------------------------------------
+# effective_mask_settled: the engine's cheap stencil kernel must equal BOTH
+# the windowed kernel and the reference sweep on line-free boards (the only
+# boards the engine evaluates masks on — see the kernel docstring).
+# ---------------------------------------------------------------------------
+
+from tile_match_tpu.ops.effective import effective_mask_settled  # noqa: E402
+
+
+def _has_run(colour):
+    h = (
+        (colour[:, :-2] == colour[:, 1:-1])
+        & (colour[:, 1:-1] == colour[:, 2:])
+        & (colour[:, :-2] != 0)
+    )
+    v = (
+        (colour[:-2, :] == colour[1:-1, :])
+        & (colour[1:-1, :] == colour[2:, :])
+        & (colour[:-2, :] != 0)
+    )
+    return bool(h.any() or v.any())
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_settled(R, C, any_special):
+    if any_special:
+        cfg = EnvConfig(num_rows=R, num_cols=C, num_colours=8)
+    else:
+        cfg = EnvConfig.create(R, C, 8, 10, colourless_specials=(),
+                               colour_specials=())
+    return cfg, jax.jit(lambda col, kn: effective_mask_settled(cfg, col, kn))
+
+
+def _line_free_board(rng, shape, colours, n_specials):
+    """Rejection-sample a board with no >=3 same-colour run."""
+    while True:
+        colour = rng.integers(1, colours + 1, size=shape).astype(np.int32)
+        if not _has_run(colour):
+            break
+    kind = np.ones(shape, np.int32)
+    for _ in range(n_specials):
+        r, c = rng.integers(0, shape[0]), rng.integers(0, shape[1])
+        k = int(rng.choice([2, 3, 4, -1]))
+        kind[r, c] = k
+        if k == -1:
+            colour[r, c] = 0  # cookies are colourless; cannot create a run
+    return colour, kind
+
+
+def check_settled(colour, kind, any_special=True):
+    cfg, fn = _jitted_settled(*colour.shape, any_special)
+    got = np.asarray(fn(colour, kind))
+    want = ref_mask(colour, kind)
+    assert np.array_equal(got, want), (
+        f"settled mask diverges\ncolour=\n{colour}\nkind=\n{kind}\n"
+        f"bad={np.nonzero(got != want)[0]}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(150))
+@pytest.mark.parametrize(
+    "shape,colours", [((5, 5), 4), ((8, 8), 4), ((10, 10), 5), ((6, 9), 5)]
+)
+def test_settled_fuzz_line_free(seed, shape, colours):
+    rng = np.random.default_rng(seed * 31 + shape[0])
+    n_spec = int(rng.integers(0, 6)) if seed % 2 else 0
+    colour, kind = _line_free_board(rng, shape, colours, n_spec)
+    check_settled(colour, kind)
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_settled_fuzz_no_specials_cfg(seed):
+    rng = np.random.default_rng(seed + 5000)
+    colour, kind = _line_free_board(rng, (10, 10), 4, 0)
+    check_settled(colour, kind, any_special=False)
+
+
+def test_settled_edges_and_cookie_ends():
+    # cookie at a run end blocks the stencil (kind < 0 on the last cell)
+    colour = np.array(
+        [
+            [1, 2, 3, 4],
+            [2, 1, 2, 3],
+            [1, 1, 0, 4],
+            [2, 3, 1, 2],
+        ],
+        np.int32,
+    )
+    kind = np.ones((4, 4), np.int32)
+    kind[2, 2] = -1
+    assert not _has_run(colour)
+    check_settled(colour, kind)

@@ -158,3 +158,61 @@ def test_fuzz_random_boards(seed, shape, colours):
             if k == -1:
                 colour[r, c] = 0
     check(colour, kind)
+
+
+# ---------------------------------------------------------------------------
+# line_union_mask: the no-specials cascade's direct mask must equal the
+# union of the slot pipeline's line cells (which the differential tests
+# above pin to the reference).
+# ---------------------------------------------------------------------------
+
+from tile_match_tpu.ops.lines import line_union_mask  # noqa: E402
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_union(R, C):
+    cfg = EnvConfig(num_rows=R, num_cols=C, num_colours=8)
+    return jax.jit(lambda col: line_union_mask(cfg, col))
+
+
+def check_union(colour):
+    colour = np.asarray(colour, np.int32)
+    R, C = colour.shape
+    kind = (colour > 0).astype(np.int32)
+    want = np.zeros((R, C), bool)
+    for line in ours_lines(colour, kind):
+        for (r, c) in line:
+            want[r, c] = True
+    got = np.asarray(_jitted_union(R, C)(colour))
+    assert np.array_equal(got, want), (
+        f"\ncolour=\n{colour}\nwant=\n{want.astype(int)}\ngot=\n{got.astype(int)}"
+    )
+
+
+def test_union_mask_simple_lines():
+    check_union([[1, 1, 1], [2, 1, 2], [3, 1, 3]])
+    check_union([[1, 2, 1], [2, 1, 2], [1, 2, 1]])  # no lines
+
+
+def test_union_mask_extensions():
+    # horizontal primary with a vertical extension through its middle cell
+    check_union(
+        [
+            [1, 2, 3, 2, 1],
+            [2, 1, 3, 1, 2],
+            [1, 2, 3, 2, 1],
+            [3, 3, 3, 1, 2],
+            [1, 2, 1, 2, 1],
+        ]
+    )
+
+
+@pytest.mark.parametrize("seed", range(120))
+@pytest.mark.parametrize(
+    "shape,colours", [((5, 5), 2), ((8, 8), 3), ((10, 10), 3), ((6, 9), 2)]
+)
+def test_union_mask_fuzz(seed, shape, colours):
+    # few colours → dense overlapping lines, the worst case for reach scans
+    rng = np.random.default_rng(seed * 77 + shape[0])
+    colour = rng.integers(1, colours + 1, size=shape).astype(np.int32)
+    check_union(colour)

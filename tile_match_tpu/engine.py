@@ -24,7 +24,6 @@ from .config import EnvConfig
 from .state import EnvState, StepInfo, action_table
 from .ops.board_ops import (
     apply_refill,
-    apply_reroll_rows,
     apply_shuffle,
     draw_colour_grid,
     gravity,
@@ -32,8 +31,14 @@ from .ops.board_ops import (
 )
 from .ops.classify import process_colour_lines
 from .ops.combination import combination_match, is_combination
-from .ops.effective import effective_mask
-from .ops.lines import first_line_info, get_colour_lines, has_any_line
+from .ops.effective import effective_mask_settled
+from .ops.lines import (
+    first_line_info,
+    get_colour_lines,
+    has_any_line,
+    line_union_mask,
+    run_member_mask,
+)
 from .ops.resolve import resolve_colour_matches
 
 
@@ -48,9 +53,10 @@ def make_playable(cfg: EnvConfig, colour, kind, key, init_has_lines, init_top):
     """The regenerate/playability loop shared by ``generate_board``
     (`board.py:102-109`) and the end of ``move`` (`board.py:381-391`).
 
-    While the board has no effective move or still has colour lines: if lines
-    exist, re-roll all rows down to one past the first line's top row
-    (`board.py:120-131`); otherwise shuffle.  Returns the board, the
+    While the board has no effective move or still has colour lines: if
+    lines exist, clear them (native scheme: redraw run-member cells, see
+    ``clear_lines``; parity mode replays the reference's row-reroll
+    host-side in parity.py); otherwise shuffle.  Returns the board, the
     ``shuffled`` info flag, and the CURRENT effective-action mask — the loop
     condition needs the full mask anyway (`possible_move` = any of it), so it
     is carried through the loop and handed back for the caller to reuse as
@@ -59,50 +65,74 @@ def make_playable(cfg: EnvConfig, colour, kind, key, init_has_lines, init_top):
     Also returns ``gave_up``: True iff the iteration cap stopped the loop
     while the board was still unplayable/matchy (feeds StepInfo.truncated).
     """
-    R = cfg.num_rows
+    cap = cfg.max_regen_iters
+
+    # The loop splits into two phases with the SAME decision/key sequence as
+    # the reference's single loop: while lines exist the mask value is never
+    # consulted (the reroll-vs-shuffle decision reads has_lines only, and
+    # the exit needs ~has_lines), so the line-clearing rerolls iterate in a
+    # cheap inner loop — draw + reroll + line detect, nothing else — and the
+    # effective mask / shuffle permutation (the two expensive ops; the old
+    # single-loop shape computed BOTH every iteration, ~40x this cost at
+    # batch 2048) run only in the rare outer shuffle loop.
+
+    def clear_lines(colour, key, has_lines, top, tot):
+        """Redraw the cells of every >=3 run until the board is line-free.
+
+        The reference rerolls all rows above the first line
+        (`board.py:120-131`) — near-full-grid rejection sampling whose
+        line-free acceptance probability is ~1.5e-4 at 10x10x4: measured
+        mean 88 iterations per board, with ~1% of boards exceeding a
+        256-iteration cap.  The native path's generation stream is this
+        engine's to define (numpy-parity mode drives the reference's exact
+        scheme host-side in parity.py), so it redraws ONLY the run-member
+        cells each iteration — same contract (line-free, all-normal,
+        uniform colours elsewhere), ~5 iterations instead of ~88.
+        """
+        del top  # kept in the carry for signature stability
+
+        def c_cond(c):
+            colour, key, has_lines, tot = c
+            return has_lines & (tot < cap)
+
+        def c_body(c):
+            colour, key, has_lines, tot = c
+            key, k = jax.random.split(key)
+            runs = run_member_mask(cfg, colour)
+            colour = jnp.where(runs, draw_colour_grid(k, cfg), colour)
+            has_lines = has_any_line(cfg, colour, kind)
+            return colour, key, has_lines, tot + 1
+
+        colour, key, has_lines, tot = jax.lax.while_loop(
+            c_cond, c_body, (colour, key, has_lines, tot)
+        )
+        return colour, key, has_lines, jnp.int32(0), tot
+
+    colour, key, has_lines, top, tot = clear_lines(
+        colour, key, init_has_lines, init_top, jnp.int32(0)
+    )
+    mask0 = effective_mask_settled(cfg, colour, kind)
 
     def cond(carry):
-        colour, kind, key, mask, has_lines, top, shuffled, it = carry
-        return ((~jnp.any(mask)) | has_lines) & (it < cfg.max_regen_iters)
+        colour, kind, key, mask, has_lines, top, shuffled, tot = carry
+        return ((~jnp.any(mask)) | has_lines) & (tot < cap)
 
     def body(carry):
-        colour, kind, key, mask, has_lines, top, shuffled, it = carry
+        colour, kind, key, mask, has_lines, top, shuffled, tot = carry
         key, k = jax.random.split(key)
-
-        def reroll(args):
-            colour, kind, shuffled = args
-            bound = jnp.minimum(R - 1, top + 1)
-            grid = draw_colour_grid(k, cfg)
-            colour = apply_reroll_rows(colour, bound, grid)
-            return colour, kind, shuffled
-
-        def shuffle(args):
-            colour, kind, shuffled = args
-            perm = jax.random.permutation(k, cfg.flat_size).astype(jnp.int32)
-            colour, kind = apply_shuffle(colour, kind, perm)
-            return colour, kind, jnp.asarray(True)
-
-        colour, kind, shuffled = jax.lax.cond(
-            has_lines, reroll, shuffle, (colour, kind, shuffled)
-        )
+        perm = jax.random.permutation(k, cfg.flat_size).astype(jnp.int32)
+        colour, kind = apply_shuffle(colour, kind, perm)
         has_lines, top = first_line_info(cfg, colour)
-        mask = effective_mask(cfg, colour, kind)
-        return colour, kind, key, mask, has_lines, top, shuffled, it + 1
+        colour, key, has_lines, top, tot = clear_lines(
+            colour, key, has_lines, top, tot + 1
+        )
+        mask = effective_mask_settled(cfg, colour, kind)
+        return colour, kind, key, mask, has_lines, top, jnp.asarray(True), tot
 
-    mask0 = effective_mask(cfg, colour, kind)
     colour, kind, key, mask, has_lines, _, shuffled, _ = jax.lax.while_loop(
         cond,
         body,
-        (
-            colour,
-            kind,
-            key,
-            mask0,
-            init_has_lines,
-            init_top,
-            jnp.asarray(False),
-            jnp.int32(0),
-        ),
+        (colour, kind, key, mask0, has_lines, top, jnp.asarray(False), tot),
     )
     gave_up = (~jnp.any(mask)) | has_lines  # cond still true at the cap
     return colour, kind, key, shuffled, mask, gave_up
@@ -192,22 +222,43 @@ def engine_move(cfg: EnvConfig, colour, kind, key, coord1, coord2, eff, cur_mask
             trunc = jnp.asarray(False)
 
         # cascade: detect → resolve → gravity → refill until no matches
-        # (`board.py:367-376`), bounded by max_cascades.
+        # (`board.py:367-376`), bounded by max_cascades.  Refill randomness
+        # is counter-based: trip t draws from fold_in(sub, t), so any trip's
+        # grid is computable independently (the Pallas fused cascade
+        # precomputes fills for a whole trip chunk in parallel and stays
+        # bit-identical to this loop), and the key evolution is
+        # trip-count-independent.
+        key, sub = jax.random.split(key)
+
         def casc_cond(carry):
             colour, kind, key, elim, activated, new, trunc, it = carry
             return has_any_line(cfg, colour, kind) & (it < cfg.max_cascades)
 
         def casc_body(carry):
             colour, kind, key, elim, activated, new, trunc, it = carry
-            ls = get_colour_lines(cfg, colour, kind)
-            m = process_colour_lines(cfg, colour, ls)
-            colour, kind, act_d, new_d, r_ovf = resolve_colour_matches(
-                cfg, colour, kind, m
-            )
-            trunc = trunc | m.ovf | r_ovf  # m.ovf folds in ls.ovf
+            if cfg.any_special:
+                ls = get_colour_lines(cfg, colour, kind)
+                m = process_colour_lines(cfg, colour, ls)
+                colour, kind, act_d, new_d, r_ovf = resolve_colour_matches(
+                    cfg, colour, kind, m
+                )
+                trunc = trunc | m.ovf | r_ovf  # m.ovf folds in ls.ovf
+            else:
+                # With no specials enabled, one trip deletes exactly the
+                # union of the detected lines' cells — computed directly as
+                # a mask (no LineSet/classify materialisation; the trip
+                # collapses to ~10 vector ops).  Equivalence with the slot
+                # pipeline is asserted by tests/ops/test_lines_diff.py's
+                # union tests.  No capacity caps on this path.
+                dmask = line_union_mask(cfg, colour)
+                colour = jnp.where(dmask, 0, colour)
+                kind = jnp.where(dmask, 0, kind)
+                act_d = jnp.int32(0)
+                new_d = jnp.int32(0)
             elim = elim + flat - jnp.count_nonzero(kind).astype(jnp.int32)
             colour, kind = gravity(colour, kind)
-            colour, kind, key = _refill_native(cfg, colour, kind, key)
+            grid = draw_colour_grid(jax.random.fold_in(sub, it), cfg)
+            colour, kind = apply_refill(colour, kind, grid)
             return (
                 colour, kind, key, elim, activated + act_d, new + new_d,
                 trunc, it + 1,
@@ -281,7 +332,7 @@ def step(
     c2 = jnp.asarray(c2_tab)[action]
 
     mask_before = (
-        effective_mask(cfg, state.colour, state.kind)
+        effective_mask_settled(cfg, state.colour, state.kind)
         if eff_mask is None
         else eff_mask
     )

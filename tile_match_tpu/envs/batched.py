@@ -9,6 +9,7 @@ trivially across chips/hosts (see ``parallel/``).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -18,6 +19,25 @@ from flax import struct
 from ..config import EnvConfig
 from ..engine import generate_board, reset, step
 from ..state import EnvState, StepInfo
+
+
+def _use_fused(cfg: EnvConfig) -> bool:
+    """Fused (Pallas-cascade) batched step: default-on for no-specials
+    configs on TPU, off elsewhere (the kernel is TPU Mosaic; CPU and the
+    virtual test meshes take the vmapped XLA path, which is bit-identical
+    — asserted by tests/envs/test_fused_step.py).  TMT_FUSED=0 disables,
+    TMT_FUSED=1 forces (interpret mode off-TPU, for debugging)."""
+    flag = os.environ.get("TMT_FUSED")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    if cfg.any_special:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 @struct.dataclass
@@ -63,7 +83,23 @@ def batched_step(
     # With auto_reset the post-step mask must describe the POST-RESET board
     # (the returned obs is the new episode's first obs), so the mask is
     # computed once after resets rather than inside step().
-    if eff_mask is None:
+    if not cfg.any_special and _use_fused(cfg):
+        from ..ops.effective import effective_mask_settled
+        from .fused import batched_step_fused
+
+        if eff_mask is None:
+            eff_mask = jax.vmap(
+                lambda s: effective_mask_settled(cfg, s.colour, s.kind)
+            )(states)
+        next_states, rewards, dones, infos = batched_step_fused(
+            cfg,
+            states,
+            actions,
+            eff_mask,
+            compute_post_mask=not auto_reset,
+            interpret=jax.default_backend() != "tpu",
+        )
+    elif eff_mask is None:
         next_states, rewards, dones, infos = jax.vmap(
             lambda s, a: step(cfg, s, a, compute_post_mask=not auto_reset)
         )(states, actions)

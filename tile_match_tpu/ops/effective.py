@@ -172,3 +172,115 @@ def effective_mask(cfg: EnvConfig, colour, kind) -> jnp.ndarray:
 def possible_move(cfg: EnvConfig, colour, kind) -> jnp.ndarray:
     """``board.py:558-569`` — any action effective?"""
     return jnp.any(effective_mask(cfg, colour, kind))
+
+
+def _pad_colour(colour, dr, dc):
+    """colour shifted by (dr, dc), out-of-board cells = -1 (never matches)."""
+    R, C = colour.shape
+    p = jnp.pad(colour, 3, constant_values=-1)
+    return p[3 + dr : 3 + dr + R, 3 + dc : 3 + dc + C]
+
+
+def _pad_kind(kind, dr, dc):
+    """kind shifted by (dr, dc); OOB value irrelevant (colour eq kills it)."""
+    R, C = kind.shape
+    p = jnp.pad(kind, 3, constant_values=1)
+    return p[3 + dr : 3 + dr + R, 3 + dc : 3 + dc + C]
+
+
+def effective_mask_settled(cfg: EnvConfig, colour, kind) -> jnp.ndarray:
+    """bool[num_actions] — exact ``is_move_effective`` semantics **on
+    line-free boards** (`board.py:735-787`), as ~20 shifted compares instead
+    of the [R*C, 36*A] one-hot matmuls of :func:`effective_mask`.
+
+    On a board with no existing >=3 run, any post-swap run inside the
+    reference's clipped window must pass through a swapped cell (all other
+    cells are unchanged) — and a run stencil containing BOTH swapped cells
+    requires the two swapped colours to be equal, in which case the swap
+    leaves the board unchanged and line-free, so such stencils can never
+    fire.  That leaves, per swapped cell, the 3 perpendicular stencils and
+    the 1 parallel stencil extending AWAY from the partner, all of whose
+    other members hold their pre-swap values: 8 stencils per action, each a
+    couple of shifted equality compares.
+
+    The engine only ever *uses* the mask on line-free boards: the
+    playability loop's exit requires ``~has_lines`` and its reroll/shuffle
+    decision ignores the mask value while lines exist
+    (`engine.make_playable`).  The adapter/parity path keeps the windowed
+    kernel for arbitrary poked boards.  Equivalence on line-free boards
+    (specials included) is asserted by tests/ops/test_effective_diff.py.
+
+    Each stencil ANDs the *last* (rightmost/bottom) cell's kind >= 0 — the
+    cookie-end quirk — using the post-swap kind when the last cell is a
+    swapped cell, exactly as the window kernel does.
+    """
+    R, C = cfg.num_rows, cfg.num_cols
+    col = colour
+    kin = kind
+
+    def sh(dr, dc):
+        return _pad_colour(col, dr, dc)
+
+    def shk(dr, dc):
+        return _pad_kind(kin, dr, dc)
+
+    def cell_terms(B, kB, dr, dc, away):
+        """Stencils through the swapped cell at offset (dr, dc) holding
+        post-swap colour ``B`` / post-swap kind ``kB``, excluding stencils
+        containing the partner cell.  ``away``: the partner-free direction
+        along the swap axis, 'up' / 'down' / 'left' / 'right'."""
+        horiz = [
+            # (dc-2, dc-1, dc): last cell is the swapped cell
+            (sh(dr, dc - 2) == B) & (sh(dr, dc - 1) == B) & (kB >= 0),
+            # (dc-1, dc, dc+1): last at dc+1
+            (sh(dr, dc - 1) == B) & (sh(dr, dc + 1) == B)
+            & (shk(dr, dc + 1) >= 0),
+            # (dc, dc+1, dc+2): last at dc+2
+            (sh(dr, dc + 1) == B) & (sh(dr, dc + 2) == B)
+            & (shk(dr, dc + 2) >= 0),
+        ]
+        vert = [
+            # (dr-2, dr-1, dr): last cell is the swapped cell
+            (sh(dr - 2, dc) == B) & (sh(dr - 1, dc) == B) & (kB >= 0),
+            # (dr-1, dr, dr+1): last at dr+1
+            (sh(dr - 1, dc) == B) & (sh(dr + 1, dc) == B)
+            & (shk(dr + 1, dc) >= 0),
+            # (dr, dr+1, dr+2): last at dr+2
+            (sh(dr + 1, dc) == B) & (sh(dr + 2, dc) == B)
+            & (shk(dr + 2, dc) >= 0),
+        ]
+        if away == "up":  # vertical swap, partner below: only the up-run
+            return horiz + [vert[0]]
+        if away == "down":  # partner above: only the down-run
+            return horiz + [vert[2]]
+        if away == "left":  # horizontal swap, partner right: left-run
+            return vert + [horiz[0]]
+        return vert + [horiz[2]]  # partner left: right-run
+
+    def special_terms(kA, kB):
+        spec1 = (kA != 0) & (kA != 1)
+        spec2 = (kB != 0) & (kB != 1)
+        return (spec1 & spec2) | (kA < 0) | (kB < 0)
+
+    def swap_mask(dr2, dc2, away1, away2):
+        """bool[R, C] indexed by coord1 = (r, c); coord2 = (r+dr2, c+dc2)."""
+        A = col  # coord1 pre-swap colour = coord2 post-swap colour
+        B = sh(dr2, dc2)  # coord2 pre-swap colour = coord1 post-swap colour
+        kA = kin
+        kB = shk(dr2, dc2)
+        terms = cell_terms(B, kB, 0, 0, away1) + cell_terms(
+            A, kA, dr2, dc2, away2
+        )
+        m = terms[0]
+        for t in terms[1:]:
+            m = m | t
+        if cfg.any_special:
+            m = m | special_terms(kA, kB)
+        return m
+
+    down = swap_mask(1, 0, "up", "down")
+    right = swap_mask(0, 1, "left", "right")
+
+    return jnp.concatenate(
+        [down[: R - 1, :].reshape(-1), right[:, : C - 1].reshape(-1)]
+    )

@@ -189,6 +189,96 @@ def get_colour_lines(cfg: EnvConfig, colour, kind) -> LineSet:
     return LineSet(coords=coords, length=d_len, count=count, ovf=ovf)
 
 
+def line_union_mask(cfg: EnvConfig, colour) -> jnp.ndarray:
+    """bool[R, C]: the union of all cells of the lines ``get_colour_lines``
+    would return — primary lowest-row lines plus their >=3 extension
+    segments (`board.py:149-215`).
+
+    With every special disabled, one cascade trip deletes exactly this set
+    (classification emits whole normal lines, resolution deletes their
+    union), so the no-specials cascade body needs ONLY this mask — no
+    LineSet slots, no argsort, no classify machine, no one-hot
+    materialisation.  ~30 small per-trip fusions collapse to ~10 vector
+    ops, which is what makes the no-specials configs fast (see BENCH.md).
+
+    Extension coverage runs as reach scans: a generator cell g (primary,
+    extension length >=3) covers [g-lext, g+rext] in its row — a cell q is
+    covered from the left iff cummax over generators g<=q of (g + rext_g)
+    reaches q, and symmetrically from the right with a reverse cummin of
+    (g - lext_g).  Reaches cannot leak across colour changes or primary
+    cells because rext/lext count exactly the contiguous non-primary
+    same-colour chain.
+    """
+    R, C = cfg.num_rows, cfg.num_cols
+    valid = colour > 0
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+
+    _hs, _he, hl = colour_run_extents(colour, axis=1)
+    vs, ve, vl = colour_run_extents(colour, axis=0)
+
+    # primary lowest-row membership (as in get_colour_lines)
+    v_bottom3 = valid & (vl >= 3) & (ve == row_ids)
+    h_in3 = valid & (hl >= 3)
+    row_flag = jnp.any(h_in3, axis=1) | jnp.any(v_bottom3, axis=1)
+    exists = jnp.any(row_flag)
+    r0 = jnp.max(jnp.where(row_flag, jnp.arange(R, dtype=jnp.int32), -1))
+    sr0 = jnp.maximum(r0, 0)
+    vflag = v_bottom3[sr0]  # [C]
+    vtop = vs[sr0]  # [C]
+    member_v = vflag[None, :] & (vtop[None, :] <= row_ids) & (row_ids <= sr0)
+    member_h = (row_ids == sr0) & h_in3
+    primary = (member_v | member_h) & exists
+
+    # extension chain lengths through each primary cell (as in lines.ext)
+    nonprim = ~primary
+
+    def ext(axis, pos_ids):
+        ok_fwd = nonprim & valid & (colour == _shift(colour, axis, 1, -1))
+        _, te = true_run_extents(ok_fwd, axis)
+        ok_next = _shift(ok_fwd, axis, -1, False)
+        te_next = _shift(te, axis, -1, -1)
+        fwd = jnp.where(ok_next, te_next - pos_ids, 0)
+        ok_bwd = nonprim & valid & (colour == _shift(colour, axis, -1, -1))
+        ts, _ = true_run_extents(ok_bwd, axis)
+        ok_prev = _shift(ok_bwd, axis, 1, False)
+        ts_prev = _shift(ts, axis, 1, BIG)
+        bwd = jnp.where(ok_prev, pos_ids - ts_prev, 0)
+        return bwd, fwd
+
+    lext, rext = ext(1, col_ids)
+    uext, dext = ext(0, row_ids)
+    cand_h = primary & (1 + lext + rext >= 3)
+    cand_v = primary & (1 + uext + dext >= 3)
+
+    right_reach = jax.lax.cummax(
+        jnp.where(cand_h, col_ids + rext, -1), axis=1
+    )
+    left_reach = jax.lax.cummin(
+        jnp.where(cand_h, col_ids - lext, BIG), axis=1, reverse=True
+    )
+    cover_h = (right_reach >= col_ids) | (left_reach <= col_ids)
+    down_reach = jax.lax.cummax(
+        jnp.where(cand_v, row_ids + dext, -1), axis=0
+    )
+    up_reach = jax.lax.cummin(
+        jnp.where(cand_v, row_ids - uext, BIG), axis=0, reverse=True
+    )
+    cover_v = (down_reach >= row_ids) | (up_reach <= row_ids)
+
+    return primary | ((cover_h | cover_v) & valid)
+
+
+def run_member_mask(cfg: EnvConfig, colour) -> jnp.ndarray:
+    """bool[R, C]: cells belonging to ANY >=3 same-colour run (not just the
+    lowest-row detected lines) — the native board-generation redraw target
+    (`engine.make_playable.clear_lines`)."""
+    valid = colour > 0
+    _, _, hl = colour_run_extents(colour, axis=1)
+    _, _, vl = colour_run_extents(colour, axis=0)
+    return valid & ((hl >= 3) | (vl >= 3))
+
+
 def first_line_info(cfg: EnvConfig, colour):
     """(has_lines, top_row_of_first_line) without materialising the LineSet.
 
