@@ -60,6 +60,11 @@ CONFIGS = [
     (20, 20, 6, 100, ("cookie",), ("vertical_laser", "horizontal_laser", "bomb")),
 ]
 
+# Measured round-4 per-config batch optima (the fused Pallas cascade made
+# throughput grow with batch on the no-specials configs, while the specials
+# configs' full-machinery rounds still favour moderate batches).
+CONFIG_BATCH = [8192, 8192, 2048, 2048, 1024]
+
 
 def _config_index() -> int:
     if "--config" in sys.argv:
@@ -85,10 +90,7 @@ _SPEC_LABEL = (
     else ("full_specials" if COLOURLESS else "colour_specials")
 )
 
-# Batch 1024 is the measured single-chip throughput optimum: the vmapped
-# while-loops run max-over-batch trip counts, which grow superlinearly with
-# batch (b8192 measured SLOWER in aggregate than b1024; see BENCH.md).
-BATCH = int(os.environ.get("TMT_BENCH_BATCH", "1024"))
+BATCH = int(os.environ.get("TMT_BENCH_BATCH", str(CONFIG_BATCH[CFG_IDX])))
 # Chunk of 8 keeps each device program well under the tunnel's execution
 # watchdog (long-running programs get the TPU worker killed; see BENCH.md).
 CHUNK = int(os.environ.get("TMT_BENCH_CHUNK", "8"))

@@ -155,6 +155,32 @@ def generate_board(cfg: EnvConfig, key):
     return colour, kind, key, mask, gave_up
 
 
+def specials_cascade_trip_grid(cfg: EnvConfig, colour, kind, grid):
+    """One FULL cascade trip (`board.py:369-376`) with the refill grid
+    passed in: detect → classify → resolve → gravity → refill(grid).
+
+    Shared by the vmapped cascade loop below and the fused specials step's
+    compacted complex-trip rounds (`envs/fused.py`), so both paths run
+    literally the same math.  Returns (colour, kind, elim_d, act_d, new_d,
+    ovf)."""
+    ls = get_colour_lines(cfg, colour, kind)
+    m = process_colour_lines(cfg, colour, ls)
+    colour, kind, act_d, new_d, r_ovf = resolve_colour_matches(
+        cfg, colour, kind, m
+    )
+    elim_d = cfg.flat_size - jnp.count_nonzero(kind).astype(jnp.int32)
+    colour, kind = gravity(colour, kind)
+    colour, kind = apply_refill(colour, kind, grid)
+    return colour, kind, elim_d, act_d, new_d, m.ovf | r_ovf
+
+
+def specials_cascade_trip(cfg: EnvConfig, colour, kind, sub, it):
+    """`specials_cascade_trip_grid` drawing its own refill grid from
+    fold_in(sub, it) — the vmapped cascade loop's per-trip body."""
+    grid = draw_colour_grid(jax.random.fold_in(sub, it), cfg)
+    return specials_cascade_trip_grid(cfg, colour, kind, grid)
+
+
 def engine_move(cfg: EnvConfig, colour, kind, key, coord1, coord2, eff, cur_mask):
     """``Board.move`` (`board.py:330-395`) minus the legality raise (the
     action table only produces legal swaps; the Gym adapter validates).
@@ -237,12 +263,13 @@ def engine_move(cfg: EnvConfig, colour, kind, key, coord1, coord2, eff, cur_mask
         def casc_body(carry):
             colour, kind, key, elim, activated, new, trunc, it = carry
             if cfg.any_special:
-                ls = get_colour_lines(cfg, colour, kind)
-                m = process_colour_lines(cfg, colour, ls)
-                colour, kind, act_d, new_d, r_ovf = resolve_colour_matches(
-                    cfg, colour, kind, m
+                colour, kind, elim_d, act_d, new_d, ovf = specials_cascade_trip(
+                    cfg, colour, kind, sub, it
                 )
-                trunc = trunc | m.ovf | r_ovf  # m.ovf folds in ls.ovf
+                return (
+                    colour, kind, key, elim + elim_d, activated + act_d,
+                    new + new_d, trunc | ovf, it + 1,
+                )
             else:
                 # With no specials enabled, one trip deletes exactly the
                 # union of the detected lines' cells — computed directly as

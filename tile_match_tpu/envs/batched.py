@@ -22,18 +22,19 @@ from ..state import EnvState, StepInfo
 
 
 def _use_fused(cfg: EnvConfig) -> bool:
-    """Fused (Pallas-cascade) batched step: default-on for no-specials
-    configs on TPU, off elsewhere (the kernel is TPU Mosaic; CPU and the
-    virtual test meshes take the vmapped XLA path, which is bit-identical
-    — asserted by tests/envs/test_fused_step.py).  TMT_FUSED=0 disables,
-    TMT_FUSED=1 forces (interpret mode off-TPU, for debugging)."""
+    """Fused (Pallas-cascade) batched step: default-on on TPU for every
+    config — the no-specials kernel runs the whole cascade, the specials
+    kernel runs all simple trips with the vmapped machinery handling only
+    complex trips — and off elsewhere (the kernel is TPU Mosaic; CPU and
+    the virtual test meshes take the vmapped XLA path, which is
+    bit-identical — asserted by tests/envs/test_fused_step.py).
+    TMT_FUSED=0 disables, TMT_FUSED=1 forces (interpret mode off-TPU, for
+    debugging)."""
     flag = os.environ.get("TMT_FUSED")
     if flag == "0":
         return False
     if flag == "1":
         return True
-    if cfg.any_special:
-        return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:
@@ -83,15 +84,18 @@ def batched_step(
     # With auto_reset the post-step mask must describe the POST-RESET board
     # (the returned obs is the new episode's first obs), so the mask is
     # computed once after resets rather than inside step().
-    if not cfg.any_special and _use_fused(cfg):
+    if _use_fused(cfg):
         from ..ops.effective import effective_mask_settled
-        from .fused import batched_step_fused
+        from .fused import batched_step_fused, batched_step_fused_sp
 
         if eff_mask is None:
             eff_mask = jax.vmap(
                 lambda s: effective_mask_settled(cfg, s.colour, s.kind)
             )(states)
-        next_states, rewards, dones, infos = batched_step_fused(
+        fused_step = (
+            batched_step_fused_sp if cfg.any_special else batched_step_fused
+        )
+        next_states, rewards, dones, infos = fused_step(
             cfg,
             states,
             actions,

@@ -114,3 +114,262 @@ def batched_step_fused(
         cascade_trips=trips,
     )
     return next_states, elim, done, infos
+
+
+# ---------------------------------------------------------------------------
+# Specials configs: kernel for simple trips, vmapped machinery for complex
+# trips (see ops/pallas_cascade.py's specials section for the design).
+# ---------------------------------------------------------------------------
+
+
+def fused_specials_cascade(cfg, colour, kind, sub_keys, interpret=False):
+    """The specials cascade at batch level: consume simple trips in the
+    Pallas kernel, run ONE full classify/resolve trip per round for boards
+    whose next trip is complex (`engine.specials_cascade_trip` — literally
+    the same function the vmapped loop runs), repeat.
+
+    Returns (colour, kind, elim, act, new, trips, trunc), bit-identical to
+    the vmapped cascade loop of ``engine.engine_move``.
+    """
+    import jax.numpy as jnp
+
+    from ..engine import specials_cascade_trip_grid
+    from ..ops.board_ops import draw_colour_grid
+    from ..ops.lines import has_any_line
+    from ..ops.pallas_cascade import cascade_sp_chunk
+
+    B = colour.shape[0]
+    T = cfg.max_cascades
+    zi = jnp.zeros((B,), jnp.int32)
+
+    def active_b(colour, kind, trips):
+        return jax.vmap(
+            lambda c, k, t: has_any_line(cfg, c, k) & (t < T)
+        )(colour, kind, trips)
+
+    def cond(carry):
+        colour, kind, trips, elim, act, new, trunc, round_ = carry
+        return jnp.any(active_b(colour, kind, trips)) & (round_ < T)
+
+    # Full trips run on a COMPACTED sub-batch: the classify/resolve machines'
+    # inner while_loops execute max-over-batch pop counts, so running them
+    # over all B boards when only the frozen few need a full trip multiplies
+    # both the data width and the executed pops.  Gather up to NF frozen
+    # boards (leftovers simply stay frozen and are picked up next round),
+    # run the machinery at width NF, scatter back via one-hot matmuls
+    # (TPU-lowered row scatters serialize; the one-hot contraction doesn't).
+    NF = min(128, B)
+    bi = jnp.arange(B, dtype=jnp.int32)
+
+    def body(carry):
+        colour, kind, trips, elim, act, new, trunc, round_ = carry
+        colour, kind, trips, elim, new_d, act_d, frozen, _ = cascade_sp_chunk(
+            cfg, colour, kind, sub_keys, trips, elim,
+            jnp.zeros((B,), jnp.int32), interpret=interpret,
+        )
+        new = new + new_d
+        act = act + act_d
+
+        def do_full(args):
+            colour, kind, trips, elim, act, new, trunc = args
+            order = jnp.argsort(jnp.where(frozen > 0, bi, B + bi))
+            idx = order[:NF]  # frozen boards first, then padding boards
+            taken = (frozen[idx] > 0)  # [NF] rows that really run
+            # ONE one-hot matrix serves gather AND scatter (TPU row
+            # gathers/scatters serialize; f32 one-hot contractions are
+            # exact for every value here, all < 2^24).  Non-taken rows
+            # gather all-zero (blank) boards, whose full trip is a no-op
+            # with zero machine pops — they add nothing to the compacted
+            # batch's max-over-batch inner-loop trip counts.
+            hit = (idx[:, None] == bi[None, :]) & taken[:, None]  # [NF, B]
+            hit_f = hit.astype(jnp.float32)
+            touched = jnp.any(hit, axis=0)  # [B]
+            RC = cfg.flat_size
+
+            def gath(a, shift=0):
+                flat = (a.reshape(B, RC) + shift).astype(jnp.float32)
+                return (
+                    (hit_f @ flat).astype(jnp.int32) - shift
+                ).reshape(NF, *a.shape[1:])
+
+            # refill grids for every board's CURRENT trip, gathered along
+            # (threefry draw is vectorised; the fold_in counter is the
+            # board's own trip number, exactly as the vmapped loop)
+            grids = jax.vmap(
+                lambda s, t: draw_colour_grid(jax.random.fold_in(s, t), cfg)
+            )(sub_keys, trips)
+
+            gc = gath(colour)
+            gk = gath(kind, 2)  # kinds span -1..4 → shift keeps them ≥ 0
+            gg = jnp.where(
+                taken[:, None, None], gath(grids), 1
+            )  # blank rows refill with colour 1 (discarded anyway)
+            c2, k2, e, a_, n, o = jax.vmap(
+                lambda c, k, g: specials_cascade_trip_grid(cfg, c, k, g)
+            )(gc, gk, gg)
+
+            def put(old, new_rows, shift):
+                flat = (new_rows.reshape(NF, RC) + shift).astype(jnp.float32)
+                out = (hit_f.T @ flat).astype(jnp.int32) - shift
+                return jnp.where(
+                    touched[:, None], out, old.reshape(B, RC)
+                ).reshape(old.shape)
+
+            colour = put(colour, c2, 0)
+            kind = put(kind, k2, 2)
+
+            def add(acc, rows):
+                return acc + (
+                    hit_f.T @ rows.astype(jnp.float32)[:, None]
+                )[:, 0].astype(jnp.int32)
+
+            return (
+                colour,
+                kind,
+                trips + touched.astype(jnp.int32),
+                add(elim, e),
+                add(act, a_),
+                add(new, n),
+                trunc | (
+                    (hit_f.T @ jnp.where(o, 1.0, 0.0)[:, None])[:, 0] > 0
+                ),
+            )
+
+        colour, kind, trips, elim, act, new, trunc = jax.lax.cond(
+            jnp.any(frozen > 0),
+            do_full,
+            lambda args: args,
+            (colour, kind, trips, elim, act, new, trunc),
+        )
+        return colour, kind, trips, elim, act, new, trunc, round_ + 1
+
+    colour, kind, trips, elim, act, new, trunc, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (colour, kind, zi, zi, zi, zi, jnp.zeros((B,), bool), jnp.int32(0)),
+    )
+    # lines surviving the budget = cap truncation (mirrors engine_move)
+    trunc = trunc | jax.vmap(lambda c, k: has_any_line(cfg, c, k))(colour, kind)
+    return colour, kind, elim, act, new, trips, trunc
+
+
+def batched_step_fused_sp(
+    cfg: EnvConfig,
+    states: EnvState,
+    actions,
+    eff_mask,
+    compute_post_mask: bool = True,
+    interpret: bool = False,
+):
+    """Specials-config drop-in for ``jax.vmap(engine.step)`` — swap and the
+    combination branch are vmapped (the latter batch-gated), the cascade
+    runs through :func:`fused_specials_cascade`, playability is vmapped.
+    Bit-identical outputs (tests/envs/test_fused_step.py)."""
+    assert cfg.any_special
+    from ..engine import make_playable
+    from ..ops.board_ops import apply_refill, draw_colour_grid, gravity, swap_cells
+    from ..ops.combination import combination_match, is_combination
+
+    B = actions.shape[0]
+    c1_tab, c2_tab = action_table(cfg)
+    c1 = jnp.asarray(c1_tab)[actions]
+    c2 = jnp.asarray(c2_tab)[actions]
+    eff = jnp.take_along_axis(eff_mask, actions[:, None], axis=1)[:, 0]
+
+    # ---- swap where effective --------------------------------------------
+    sw_colour, sw_kind = jax.vmap(swap_cells)(states.colour, states.kind, c1, c2)
+    effm = eff[:, None, None]
+    colour = jnp.where(effm, sw_colour, states.colour)
+    kind = jnp.where(effm, sw_kind, states.kind)
+
+    # ---- combination branch (engine_move's run_comb), batch-gated ---------
+    comb = jax.vmap(is_combination)(kind, c1, c2) & eff
+
+    def run_comb(args):
+        colour, kind, key = args
+
+        def one(colour, kind, c1, c2, key):
+            colour2, kind2, act, ovf = combination_match(cfg, colour, kind, c1, c2)
+            elim = cfg.flat_size - jnp.count_nonzero(kind2).astype(jnp.int32)
+            colour2, kind2 = gravity(colour2, kind2)
+            key2, kd = jax.random.split(key)
+            colour2, kind2 = apply_refill(
+                colour2, kind2, draw_colour_grid(kd, cfg)
+            )
+            return colour2, kind2, key2, elim, act, ovf
+
+        c2_, k2_, key2, elim, act, ovf = jax.vmap(one)(colour, kind, c1, c2, key)
+        sel = comb[:, None, None]
+        return (
+            jnp.where(sel, c2_, colour),
+            jnp.where(sel, k2_, kind),
+            jnp.where(comb[:, None], key2, key),
+            jnp.where(comb, elim, 0),
+            jnp.where(comb, act, 0),
+            ovf & comb,
+        )
+
+    def skip_comb(args):
+        colour, kind, key = args
+        z = jnp.zeros((B,), jnp.int32)
+        return colour, kind, key, z, z, jnp.zeros((B,), bool)
+
+    colour, kind, key1, comb_elim, comb_act, comb_ovf = jax.lax.cond(
+        jnp.any(comb), run_comb, skip_comb, (colour, kind, states.key)
+    )
+
+    # ---- key evolution for the cascade (`key, sub = split(key)`) ----------
+    both = jax.vmap(lambda k: jax.random.split(k, 2))(key1)
+    key_moved = both[:, 0]
+    sub = both[:, 1]
+    key_after = jnp.where(eff[:, None], key_moved, states.key)
+
+    # ---- cascade ----------------------------------------------------------
+    colour, kind, elim, act, new, trips, trunc = fused_specials_cascade(
+        cfg, colour, kind, sub, interpret=interpret
+    )
+    # new specials filled holes → count as eliminations (`board.py:378`)
+    elim = comb_elim + elim + new
+    act = comb_act + act
+    trunc = trunc | comb_ovf
+
+    # ---- playability + post mask (vmapped) --------------------------------
+    def playable(colour, kind, key):
+        return make_playable(
+            cfg, colour, kind, key, jnp.asarray(False), jnp.int32(0)
+        )
+
+    p_colour, p_kind, p_key, p_shuffled, p_mask, p_gave_up = jax.vmap(
+        playable
+    )(colour, kind, key_after)
+
+    out_colour = jnp.where(effm, p_colour, states.colour)
+    out_kind = jnp.where(effm, p_kind, states.kind)
+    out_key = jnp.where(eff[:, None], p_key, states.key)
+    shuffled = eff & p_shuffled
+    post_mask = jnp.where(eff[:, None], p_mask, eff_mask)
+    truncated = eff & (trunc | p_gave_up)
+    elim = jnp.where(eff, elim, 0)
+    trips = jnp.where(eff, trips, 0)
+    act = jnp.where(eff, act, 0)
+    new = jnp.where(eff, new, 0)
+
+    timer = states.timer + 1
+    done = timer >= cfg.num_moves
+    next_states = EnvState(
+        colour=out_colour, kind=out_kind, timer=timer, key=out_key
+    )
+    if compute_post_mask:
+        mask_after = jnp.where(done[:, None], False, post_mask)
+    else:
+        mask_after = post_mask
+    infos = StepInfo(
+        is_combination_match=comb,
+        num_new_specials=new,
+        num_specials_activated=act,
+        shuffled=shuffled,
+        effective_actions=mask_after,
+        truncated=truncated,
+        cascade_trips=trips,
+    )
+    return next_states, elim, done, infos

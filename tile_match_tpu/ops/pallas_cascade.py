@@ -114,10 +114,15 @@ def _cummin_rev(a, shift, n, maxval):
     return a
 
 
-def _union_mask_tile(x, R, C):
-    """([R, C, TB] bool union, [1, TB] bool exists) — the in-kernel
+def _union_mask_tile(x, R, C, want_aux=False):
+    """([R, C, TB] bool union, [1, TB] bool exists[, aux]) — the in-kernel
     transcription of ops/lines.line_union_mask; all-zero pad lanes produce
-    an empty union (the `valid` guard on every eq link)."""
+    an empty union (the `valid` guard on every eq link).
+
+    With ``want_aux`` the per-cell detection intermediates needed by the
+    specials simple-trip predicate are also returned (hl/vl run lengths,
+    primary membership, extension candidates and lengths) — all already
+    computed on the way to the union."""
     i32 = jnp.int32
     BIGI = jnp.int32(1 << 20)
     r_ids = jax.lax.broadcasted_iota(i32, x.shape, 0)
@@ -185,14 +190,104 @@ def _union_mask_tile(x, R, C):
     cover_v = (down_reach >= r_ids) | (up_reach <= r_ids)
 
     union = primary | ((cover_h | cover_v) & valid)
+    if want_aux:
+        aux = {
+            "member_h": member_h,
+            "member_v": member_v,
+            "hl": lcnt + rcnt + 1,
+            "vl": ucnt + dcnt + 1,
+            "lcnt": lcnt,  # in-line offset of a primary-h cell from its start
+            "ucnt": ucnt,  # in-line offset of a primary-v cell from its top
+            "cand_h": cand_h,
+            "cand_v": cand_v,
+            "hext": 1 + lext + rext,
+            "vext": 1 + uext + dext,
+        }
+        return union, exists, aux
     return union, exists
 
 
-def _gravity_tile(x, R):
-    """Stable push-zeros-up per column — board_ops.gravity transcribed."""
+def _lane_any(cells):
+    """[R, C, TB] bool → [1, TB] i32 any-reduction (i32 path for Mosaic)."""
+    TBl = cells.shape[2]
+    return jnp.max(
+        jnp.where(cells, 1, 0).reshape(-1, TBl), axis=0, keepdims=True
+    )
+
+
+def _simple_trip_tile(cfg: EnvConfig, union, aux, k):
+    """([1, TB] bool simple, [R, C, TB] bool create, i32 create_code_grid)
+    — ``simple``: this trip's DETECTED lines all classify as disjoint
+    normals OR unshared length-4 laser creations touching no special tile;
+    sequential resolution then degenerates to 'delete the union, then
+    create a laser at each length-4 line's pick cell' (the in-kernel
+    closed form).  Conservative: any uncertainty marks the lane complex
+    and defers to the full machinery.
+
+    Complexity sources (`board.py:284-325, 460-471`):
+    * a detected PRIMARY of length >= 5 with cookie enabled (cookie
+      classification splits the line), or an extension of length >= 4
+      (laser-from-extension — deferred);
+    * with bomb enabled, ANY coordinate sharing → bomb pairing — every
+      extension line shares its generator cell with its primary, so any
+      extension at all, or an h-primary crossing a v-primary, is complex;
+    * a special tile among the union's cells → activation chains.
+
+    Length-4 UNSHARED primaries are handled in-kernel: the laser is
+    created at the line's second coordinate (`get_special_creation_pos`
+    middle rule for n=4 with an empty taken set, `board.py:441-447`) with
+    the line's colour; creation positions of disjoint lines can never
+    collide.  ``create`` marks those cells; ``create_code`` is the static
+    laser kind per orientation (`board.py:296-302` fallback quirk), or 0
+    when the orientation's classification falls back to normal (plain
+    delete, nothing created).
+    """
+    # classification codes for a length-4 line by orientation (static)
+    h_code = 3 if cfg.horizontal_laser else (2 if cfg.vertical_laser else 0)
+    v_code = 2 if cfg.vertical_laser else 0
+
+    if cfg.cookie:
+        len_bad = (aux["member_h"] & (aux["hl"] >= 5)) | (
+            aux["member_v"] & (aux["vl"] >= 5)
+        )
+    else:
+        # without cookie, >= 5 primaries classify as plain normals
+        len_bad = jnp.zeros_like(aux["member_h"])
+    ext_bad = (aux["cand_h"] & (aux["hext"] >= 4)) | (
+        aux["cand_v"] & (aux["vext"] >= 4)
+    )
+    complex_cells = len_bad | ext_bad
+    if cfg.bomb:
+        complex_cells = complex_cells | aux["cand_h"] | aux["cand_v"] | (
+            aux["member_h"] & aux["member_v"]
+        )
+    # line-shape simplicity only; the kernel body combines it with the
+    # special-tile analysis (no specials in the union, or exactly one
+    # laser/bomb with a chain-free region — the single-activation case)
+    simple = _lane_any(complex_cells) == 0
+
+    h4_pick = (
+        aux["member_h"] & (aux["hl"] == 4) & (aux["lcnt"] == 1)
+        if h_code
+        else jnp.zeros_like(aux["member_h"])
+    )
+    v4_pick = (
+        aux["member_v"] & (aux["vl"] == 4) & (aux["ucnt"] == 1)
+        if v_code
+        else jnp.zeros_like(aux["member_v"])
+    )
+    create = h4_pick | v4_pick
+    code = jnp.where(h4_pick, h_code, jnp.where(v4_pick, v_code, 0))
+    return simple, create, code
+
+
+def _gravity_tile(x, R, empty_b=None):
+    """Stable push-zeros-up per column — board_ops.gravity transcribed.
+    ``empty_b``: bool emptiness mask; defaults to x == 0 (colour-only
+    boards).  Returns the dest permutation applier."""
     i32 = jnp.int32
     r_ids = jax.lax.broadcasted_iota(i32, x.shape, 0)
-    empty = jnp.where(x == 0, 1, 0)
+    empty = jnp.where(x == 0 if empty_b is None else empty_b, 1, 0)
     cume = empty
     s = 1
     while s < R:
@@ -205,6 +300,30 @@ def _gravity_tile(x, R):
     for r in range(R):
         out = jnp.where(dest[r : r + 1, :, :] == r_ids, x[r : r + 1, :, :], out)
     return out
+
+
+def _gravity_two_tile(x, k, R):
+    """Gravity for both channels with ONE dest permutation; emptiness is
+    (colour == 0) & (kind == 0) — a cookie (colour 0, kind -1) is NOT empty
+    (`board.py:222-225`)."""
+    i32 = jnp.int32
+    r_ids = jax.lax.broadcasted_iota(i32, x.shape, 0)
+    empty = jnp.where((x == 0) & (k == 0), 1, 0)
+    cume = empty
+    s = 1
+    while s < R:
+        cume = cume + _shift_r(cume, s, 0)
+        s *= 2
+    n_empty = cume[R - 1 : R, :, :]
+    cumt = (r_ids + 1) - cume
+    dest = jnp.where(empty > 0, cume - 1, n_empty + cumt - 1)
+    out_x = jnp.zeros_like(x)
+    out_k = jnp.zeros_like(k)
+    for r in range(R):
+        hit = dest[r : r + 1, :, :] == r_ids
+        out_x = jnp.where(hit, x[r : r + 1, :, :], out_x)
+        out_k = jnp.where(hit, k[r : r + 1, :, :], out_k)
+    return out_x, out_k
 
 
 def _active_tile(x):
@@ -384,3 +503,255 @@ def cascade_reference(cfg: EnvConfig, colour_b, sub_keys):
         return colour, elim, it, trunc
 
     return jax.vmap(one)(colour_b, sub_keys)
+
+
+# ---------------------------------------------------------------------------
+# Specials configs: simple-trip fast path.
+#
+# Most cascade trips on most boards classify every detected line as a
+# disjoint length-3 normal touching no special tile, and then sequential
+# resolution degenerates to "delete the union" — exactly the kernel's cheap
+# body.  The specials kernel consumes all LEADING simple trips of every
+# lane and FREEZES a lane the moment its next trip is complex (length >= 4,
+# coordinate sharing under bomb, or a special tile in the union); the
+# caller (envs/fused.batched_step_fused_sp) then runs ONE full
+# classify/resolve trip for frozen lanes via the vmapped machinery and
+# re-enters the kernel.  Executed full-machinery trips drop from
+# max-over-batch cascade length (~29 at b1024) to max-over-batch COMPLEX
+# trip count (~a few).
+#
+# Fill alignment: lanes enter a launch at different trip numbers, so fills
+# are generated with PER-LANE bases — fills[j, :, lane] is the draw for
+# trip (trips[lane] + j).  Within one launch every still-consuming lane
+# consumes exactly one fill per loop iteration (consumption stops
+# permanently at line-free or frozen), so the in-kernel index is the loop
+# counter for every lane, and bit-exactness with the per-board XLA loop's
+# fold_in(sub, trip) draws is preserved.
+# ---------------------------------------------------------------------------
+
+
+def _cascade_sp_kernel(
+    R, C, Tmax, cfg, limit_ref, col_ref, kind_ref, fills_ref,
+    trips_ref, elim_ref, frozen_ref,
+    out_col, out_kind, out_trips, out_elim, out_new, out_act, out_frozen,
+    out_active,
+):
+    x0 = col_ref[:].reshape(R, C, TB)
+    k0 = kind_ref[:].reshape(R, C, TB)
+    limit = limit_ref[0, 0]
+
+    def cond(carry):
+        x, k, trips, elim, new, act, frozen, t, go = carry
+        return go & (t < limit)
+
+    def body(carry):
+        x, k, trips, elim, new, act, frozen, t, go = carry
+        union, exists, aux = _union_mask_tile(x, R, C, want_aux=True)
+        shape_ok, create, code = _simple_trip_tile(cfg, union, aux, k)
+
+        # ---- special tiles in the union: none, or ONE chain-free
+        # laser/bomb (the closed-form single activation; `board.py:503-528`
+        # wipes its column/row/3x3 cell by cell, recursing only into other
+        # specials — excluded by the region-clean test) -------------------
+        spec_cells = union & (k != 1)
+        sp_i = jnp.where(spec_cells, 1, 0).reshape(-1, TB)
+        n_spec = jnp.sum(sp_i, axis=0, keepdims=True)  # [1, TB]
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        scode = jnp.sum(
+            jnp.where(spec_cells, k, 0).reshape(-1, TB), axis=0, keepdims=True
+        )
+        sr = jnp.sum(
+            jnp.where(spec_cells, r_ids, 0).reshape(-1, TB),
+            axis=0, keepdims=True,
+        )
+        sc = jnp.sum(
+            jnp.where(spec_cells, c_ids, 0).reshape(-1, TB),
+            axis=0, keepdims=True,
+        )
+        one_sp_i = jnp.where(
+            (n_spec == 1)
+            & ((scode == 2) | (scode == 3) | (scode == 4)),
+            1, 0,
+        )  # [1, TB] i32; cookies (colour choice) stay complex
+        sr3 = sr[:, None, :]
+        sc3 = sc[:, None, :]
+        # region built in i32 (Mosaic cannot relayout i1 vregs through the
+        # [1, TB] -> [1, 1, TB] broadcasts)
+        col_hit = jnp.where(c_ids == sc3, 1, 0)
+        row_hit = jnp.where(r_ids == sr3, 1, 0)
+        box_hit = jnp.where(
+            (jnp.abs(r_ids - sr3) <= 1) & (jnp.abs(c_ids - sc3) <= 1), 1, 0
+        )
+        code2 = jnp.where(scode == 2, 1, 0)[:, None, :]
+        code3 = jnp.where(scode == 3, 1, 0)[:, None, :]
+        shape_sel = code2 * col_hit + code3 * row_hit + (
+            (1 - code2) * (1 - code3) * box_hit
+        )
+        region = (one_sp_i[:, None, :] * shape_sel) > 0
+        chain = _lane_any(region & (k != 1) & ~spec_cells) > 0
+        act_lane = (one_sp_i > 0) & ~chain
+        sp_ok = (n_spec == 0) | act_lane
+        simple = shape_ok & sp_ok
+
+        exists_i = jnp.where(exists, 1, 0)
+        in_budget = jnp.where(trips < Tmax, 1, 0)
+        proc = (
+            exists_i * jnp.where(simple, 1, 0)
+            * jnp.where(frozen == 0, 1, 0)
+            * in_budget
+        )  # [1, TB] i32
+        # freeze = "needs a full trip next"; boards at the trip cap are NOT
+        # frozen (the cap, not the machinery, stops them — engine_move's
+        # per-board `it < max_cascades`)
+        frozen = jnp.maximum(
+            frozen, exists_i * jnp.where(simple, 0, 1) * in_budget
+        )
+        proc3 = proc[:, None, :] > 0  # [1, 1, TB] broadcast
+        act_i3 = jnp.where(act_lane, 1, 0)[:, None, :]
+        dele = (union | (region & (act_i3 > 0))) & proc3
+        cre = create & proc3
+        line_colour = x  # pre-delete colour at the pick cell
+        x = jnp.where(dele, 0, x)
+        k = jnp.where(dele, 0, k)
+        # phase-3 creation (`board.py:426-427, 572-597`): laser at each
+        # unshared length-4 line's pick cell, with the line's colour
+        x = jnp.where(cre, line_colour, x)
+        k = jnp.where(cre, code, k)
+        n_created = jnp.sum(
+            jnp.where(cre, 1, 0).reshape(-1, TB), axis=0, keepdims=True
+        )
+        # eliminations counted post-resolve: deleted minus created cells
+        elim = elim + proc * (
+            jnp.sum(
+                jnp.where(dele, 1, 0).reshape(-1, TB), axis=0, keepdims=True
+            )
+            - n_created
+        )
+        new = new + proc * n_created
+        act = act + proc * jnp.where(act_lane, 1, 0)
+        x, k = _gravity_two_tile(x, k, R)
+        fill = fills_ref[pl.ds(t, 1)].reshape(R, C, TB)
+        refill = (x == 0) & (k == 0)
+        x = jnp.where(refill, fill, x)
+        k = jnp.where(refill, 1, k)
+        trips = trips + proc
+        go = jnp.sum(proc) > 0
+        return x, k, trips, elim, new, act, frozen, t + 1, go
+
+    x, k, trips, elim, new, act, frozen, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            x0, k0, trips_ref[:], elim_ref[:],
+            jnp.zeros_like(elim_ref[:]), jnp.zeros_like(elim_ref[:]),
+            frozen_ref[:], jnp.int32(0), jnp.asarray(True),
+        ),
+    )
+
+    out_col[:] = x.reshape(R * C, TB)
+    out_kind[:] = k.reshape(R * C, TB)
+    out_trips[:] = trips
+    out_elim[:] = elim
+    out_new[:] = new
+    out_act[:] = act
+    out_frozen[:] = frozen
+    out_active[:] = _active_tile(x)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def cascade_sp_chunk(
+    cfg: EnvConfig, colour_b, kind_b, sub_keys, trips_b, elim_b, frozen_b,
+    interpret: bool = False,
+):
+    """One specials-kernel launch: consume up to TC leading simple trips per
+    board, freezing boards whose next trip is complex.
+
+    All batch-shaped args are board-major ([B, R, C] / [B]); returns
+    (colour, kind, trips, elim, frozen, active) with the same shapes.
+    """
+    B, R, C = colour_b.shape
+    T = cfg.max_cascades
+    Bp = ((B + TB - 1) // TB) * TB
+    n_tiles = Bp // TB
+
+    def to_t(a):  # [B, R, C] -> [R*C, Bp]
+        a = jnp.transpose(a.reshape(B, R * C)).astype(jnp.int32)
+        return jnp.pad(a, ((0, 0), (0, Bp - B)))
+
+    def vec(a, fill=0):  # [B] -> [1, Bp]
+        return jnp.pad(
+            a.astype(jnp.int32)[None, :], ((0, 0), (0, Bp - B)),
+            constant_values=fill,
+        )
+
+    col_t = to_t(colour_b)
+    kind_t = to_t(kind_b)
+    trips = vec(trips_b)
+    elim = vec(elim_b)
+    frozen = vec(frozen_b)
+
+    # fills with per-lane bases: fills[j, :, lane] = draw for trip
+    # (trips[lane] + j) — identical to the XLA loop's fold_in(sub, it)
+    js = jnp.arange(TC, dtype=jnp.int32)
+
+    def per_board(k, base):
+        return jax.vmap(
+            lambda j: draw_colour_grid(jax.random.fold_in(k, base + j), cfg)
+        )(js)
+
+    f = jax.vmap(per_board)(sub_keys, trips_b.astype(jnp.int32))
+    f = jnp.transpose(f.reshape(B, TC, R * C), (1, 2, 0))
+    fills = jnp.pad(f, ((0, 0), (0, 0), (0, Bp - B)))
+
+    limit = jnp.full((1, 1), TC, jnp.int32)
+    kernel = functools.partial(_cascade_sp_kernel, R, C, T, cfg)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((R * C, TB), lambda i: (0, i)),
+            pl.BlockSpec((R * C, TB), lambda i: (0, i)),
+            pl.BlockSpec((TC, R * C, TB), lambda i: (0, 0, i)),
+            pl.BlockSpec((1, TB), lambda i: (0, i)),
+            pl.BlockSpec((1, TB), lambda i: (0, i)),
+            pl.BlockSpec((1, TB), lambda i: (0, i)),
+        ],
+        out_specs=(
+            pl.BlockSpec((R * C, TB), lambda i: (0, i)),
+            pl.BlockSpec((R * C, TB), lambda i: (0, i)),
+            pl.BlockSpec((1, TB), lambda i: (0, i)),
+            pl.BlockSpec((1, TB), lambda i: (0, i)),
+            pl.BlockSpec((1, TB), lambda i: (0, i)),
+            pl.BlockSpec((1, TB), lambda i: (0, i)),
+            pl.BlockSpec((1, TB), lambda i: (0, i)),
+            pl.BlockSpec((1, TB), lambda i: (0, i)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R * C, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((R * C, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+        ),
+        interpret=interpret,
+    )(limit, col_t, kind_t, fills, trips, elim, frozen)
+    col_o, kind_o, trips_o, elim_o, new_o, act_o, frozen_o, active_o = out
+
+    def from_t(a):
+        return jnp.transpose(a[:, :B]).reshape(B, R, C)
+
+    return (
+        from_t(col_o),
+        from_t(kind_o),
+        trips_o[0, :B],
+        elim_o[0, :B],
+        new_o[0, :B],
+        act_o[0, :B],
+        frozen_o[0, :B],
+        active_o[0, :B] > 0,
+    )
