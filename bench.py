@@ -21,8 +21,8 @@ from execution retries (`_TMT_BENCH_EXEC_ATTEMPT`).
 
 The execution-retry ladder shrinks the CHUNK first (shorter dispatches are
 what survives a degraded tunnel worker — measured round 3) and keeps the
-batch at the b1024 throughput optimum; the batch drops only as a last
-resort, and after any success at a reduced batch the script attempts to
+batch at the per-config throughput optimum (CONFIG_BATCH); the batch drops
+only as a last resort, and after any success at a reduced batch the script attempts to
 climb back and re-measure at the full batch so the recorded number is the
 real optimum, not a degraded-run artifact (round 3 recorded 0.97x at b256
 when the true b1024 number was 1.6x).  The ladder is skipped entirely when
@@ -63,7 +63,7 @@ CONFIGS = [
 # Measured round-4 per-config batch optima (the fused Pallas cascade made
 # throughput grow with batch on the no-specials configs, while the specials
 # configs' full-machinery rounds still favour moderate batches).
-CONFIG_BATCH = [8192, 8192, 2048, 2048, 1024]
+CONFIG_BATCH = [32768, 16384, 4096, 4096, 2048]
 
 
 def _config_index() -> int:
