@@ -122,7 +122,7 @@ def _assert_step_equal(out_f, out_v, tag):
         assert np.array_equal(np.asarray(a), np.asarray(b)), f"{tag}: {name}"
 
 
-def _sprinkle_specials(states, seed):
+def _sprinkle_specials(states, seed, dense=False):
     """Poke specials onto generated boards (they stay line-free: kind edits
     do not create colour runs; cookies blank their colour)."""
     rng = np.random.default_rng(seed)
@@ -130,7 +130,7 @@ def _sprinkle_specials(states, seed):
     kind = np.asarray(states.kind).copy()
     B, R, C = colour.shape
     for b in range(B):
-        for _ in range(rng.integers(1, 5)):
+        for _ in range(rng.integers(3, 9) if dense else rng.integers(1, 5)):
             r, c = rng.integers(0, R), rng.integers(0, C)
             k = int(rng.choice([2, 3, 4, -1]))
             kind[b, r, c] = k
@@ -141,27 +141,43 @@ def _sprinkle_specials(states, seed):
     )
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_fused_sp_step_bit_identical(seed):
-    B = 24
-    states, ts = batched_reset(CFG_SP, jax.random.PRNGKey(seed), B)
-    states = _sprinkle_specials(states, seed + 50)
+CFG_SP10 = EnvConfig.create(
+    10, 10, 4, 6,
+    colourless_specials=("cookie",),
+    colour_specials=("vertical_laser", "horizontal_laser", "bomb"),
+)
+
+
+@pytest.mark.parametrize("seed,big", [(0, False), (1, False), (2, True), (3, True)])
+def test_fused_sp_step_bit_identical(seed, big):
+    # big=True: 10x10 boards with denser specials — the regime that exposed
+    # the activation-closure stale-region bug (a special joining the closure
+    # on the last expansion without contributing its region)
+    CFG_SP_local = CFG_SP10 if big else CFG_SP
+    # the 10x10 interpret program is enormous; drop accumulated executables
+    # first (the in-process XLA CPU compiler segfaults under pressure)
+    jax.clear_caches()
+    B = 12 if big else 24
+    states, ts = batched_reset(CFG_SP_local, jax.random.PRNGKey(seed), B)
+    states = _sprinkle_specials(states, seed + 50, dense=big)
     # masks must describe the POKED boards
     from tile_match_tpu.ops.effective import effective_mask_settled
 
     mask = jax.vmap(
-        lambda s: effective_mask_settled(CFG_SP, s.colour, s.kind)
+        lambda s: effective_mask_settled(CFG_SP_local, s.colour, s.kind)
     )(states)
 
     sf = sv = states
     mask_f = mask_v = mask
     key = jax.random.PRNGKey(seed + 200)
-    for i in range(4):
+    for i in range(2 if big else 4):
         key, ka = jax.random.split(key)
         acts = _policy(ka, mask_v)
-        out_f = batched_step_fused_sp(CFG_SP, sf, acts, mask_f, interpret=True)
+        out_f = batched_step_fused_sp(
+            CFG_SP_local, sf, acts, mask_f, interpret=True
+        )
         out_v = jax.vmap(
-            lambda s, a, m: step(CFG_SP, s, a, eff_mask=m)
+            lambda s, a, m: step(CFG_SP_local, s, a, eff_mask=m)
         )(sv, acts, mask_v)
         _assert_step_equal(out_f, out_v, f"sp step {i}")
         sf, sv = out_f[0], out_v[0]

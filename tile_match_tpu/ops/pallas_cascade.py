@@ -549,48 +549,64 @@ def _cascade_sp_kernel(
         union, exists, aux = _union_mask_tile(x, R, C, want_aux=True)
         shape_ok, create, code = _simple_trip_tile(cfg, union, aux, k)
 
-        # ---- special tiles in the union: none, or ONE chain-free
-        # laser/bomb (the closed-form single activation; `board.py:503-528`
-        # wipes its column/row/3x3 cell by cell, recursing only into other
-        # specials — excluded by the region-clean test) -------------------
+        # ---- special tiles in the union: none, or a CONVERGED laser/bomb
+        # activation set.  `board.py:503-528` wipes each activated special's
+        # column/row/3x3 cell by cell, recursing into any special the wipe
+        # hits — since every deletion under these conditions is a normal
+        # tile (side-effect-free) the wipes commute, so the closed form is
+        # "delete union ∪ all activated regions" with the activated set S
+        # computed as a transitive closure: start from the union's
+        # lasers/bombs, add every special any region hits, re-expand.
+        # Cookies anywhere in the closure (activation-time colour choice)
+        # and closures that do not converge within _NEXP expansions stay
+        # complex and defer to the machinery. --------------------------------
+        _NEXP = 4
         spec_cells = union & (k != 1)
-        sp_i = jnp.where(spec_cells, 1, 0).reshape(-1, TB)
-        n_spec = jnp.sum(sp_i, axis=0, keepdims=True)  # [1, TB]
-        r_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-        c_ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        scode = jnp.sum(
-            jnp.where(spec_cells, k, 0).reshape(-1, TB), axis=0, keepdims=True
-        )
-        sr = jnp.sum(
-            jnp.where(spec_cells, r_ids, 0).reshape(-1, TB),
-            axis=0, keepdims=True,
-        )
-        sc = jnp.sum(
-            jnp.where(spec_cells, c_ids, 0).reshape(-1, TB),
-            axis=0, keepdims=True,
-        )
-        one_sp_i = jnp.where(
-            (n_spec == 1)
-            & ((scode == 2) | (scode == 3) | (scode == 4)),
-            1, 0,
-        )  # [1, TB] i32; cookies (colour choice) stay complex
-        sr3 = sr[:, None, :]
-        sc3 = sc[:, None, :]
-        # region built in i32 (Mosaic cannot relayout i1 vregs through the
-        # [1, TB] -> [1, 1, TB] broadcasts)
-        col_hit = jnp.where(c_ids == sc3, 1, 0)
-        row_hit = jnp.where(r_ids == sr3, 1, 0)
-        box_hit = jnp.where(
-            (jnp.abs(r_ids - sr3) <= 1) & (jnp.abs(c_ids - sc3) <= 1), 1, 0
-        )
-        code2 = jnp.where(scode == 2, 1, 0)[:, None, :]
-        code3 = jnp.where(scode == 3, 1, 0)[:, None, :]
-        shape_sel = code2 * col_hit + code3 * row_hit + (
-            (1 - code2) * (1 - code3) * box_hit
-        )
-        region = (one_sp_i[:, None, :] * shape_sel) > 0
-        chain = _lane_any(region & (k != 1) & ~spec_cells) > 0
-        act_lane = (one_sp_i > 0) & ~chain
+        n_spec = jnp.sum(
+            jnp.where(spec_cells, 1, 0).reshape(-1, TB), axis=0, keepdims=True
+        )  # [1, TB]
+        S = jnp.where(spec_cells & (k > 1), 1, 0)  # i32 [R, C, TB]
+        bad_sp = _lane_any(spec_cells & (k == -1))  # cookie in union
+
+        def regions_of(S):
+            vcol = jnp.max(
+                S * jnp.where(k == 2, 1, 0), axis=0, keepdims=True
+            )  # [1, C, TB]: columns wiped by vertical lasers
+            # rows wiped by horizontal lasers: 2D reduce + i32 expand
+            hrow = jnp.max(
+                S * jnp.where(k == 3, 1, 0), axis=1
+            )[:, None, :]  # [R, 1, TB]
+            bomb = S * jnp.where(k == 4, 1, 0)
+            bd = jnp.maximum(
+                bomb,
+                jnp.maximum(_shift_r(bomb, 1, 0), _shift_r(bomb, -1, 0)),
+            )
+            bd = jnp.maximum(
+                bd, jnp.maximum(_shift_c(bd, 1, 0), _shift_c(bd, -1, 0))
+            )
+            return jnp.maximum(
+                jnp.maximum(vcol + jnp.zeros_like(S), hrow + jnp.zeros_like(S)),
+                bd,
+            )
+
+        for _ in range(_NEXP):
+            region_i = regions_of(S)
+            hit = jnp.where((region_i > 0) & (k != 1) & (k != 0), 1, 0)
+            bad_sp = jnp.maximum(bad_sp, _lane_any((hit > 0) & (k == -1)))
+            S = jnp.maximum(S, hit * jnp.where(k > 1, 1, 0))
+        # REGENERATE the region from the final S (specials joining S on the
+        # last expansion must contribute their regions) and re-check the
+        # closure: any laser/bomb the final regions hit that is not in S, or
+        # any cookie hit, means the chain did not converge within _NEXP —
+        # defer to the machinery.
+        region_i = regions_of(S)
+        hit_f = (region_i > 0) & (k != 1) & (k != 0)
+        bad_sp = jnp.maximum(bad_sp, _lane_any(hit_f & (k == -1)))
+        unconverged = _lane_any(hit_f & (k > 1) & (S == 0))
+        act_n = jnp.sum(S.reshape(-1, TB), axis=0, keepdims=True)
+        act_lane = (n_spec > 0) & (bad_sp == 0) & (unconverged == 0)
+        act_i = jnp.where(act_lane, 1, 0)  # i32 for the 3D broadcast below
+        region = (region_i * act_i[:, None, :]) > 0
         sp_ok = (n_spec == 0) | act_lane
         simple = shape_ok & sp_ok
 
@@ -608,8 +624,7 @@ def _cascade_sp_kernel(
             frozen, exists_i * jnp.where(simple, 0, 1) * in_budget
         )
         proc3 = proc[:, None, :] > 0  # [1, 1, TB] broadcast
-        act_i3 = jnp.where(act_lane, 1, 0)[:, None, :]
-        dele = (union | (region & (act_i3 > 0))) & proc3
+        dele = (union | region) & proc3
         cre = create & proc3
         line_colour = x  # pre-delete colour at the pick cell
         x = jnp.where(dele, 0, x)
@@ -629,7 +644,7 @@ def _cascade_sp_kernel(
             - n_created
         )
         new = new + proc * n_created
-        act = act + proc * jnp.where(act_lane, 1, 0)
+        act = act + proc * act_n
         x, k = _gravity_two_tile(x, k, R)
         fill = fills_ref[pl.ds(t, 1)].reshape(R, C, TB)
         refill = (x == 0) & (k == 0)
