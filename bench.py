@@ -47,6 +47,7 @@ import sys
 import time
 
 NJIT_FACTOR = 30.0
+_PARITY_DONE = False
 _DIR = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(_DIR, "bench_baseline.json")
 JAX_CACHE = os.path.join(_DIR, ".jax_cache")
@@ -178,6 +179,79 @@ def _device_ok() -> bool:
         return False
 
 
+def parity_spot_check(cfg) -> None:
+    """Compiled-Mosaic parity gate: before any number is recorded, step a
+    small batch through the production fused path AND the vmapped XLA engine
+    and require bit equality (boards, kinds, rewards, trip counts).  The
+    pytest suite runs the kernels in interpret mode only (it pins itself to
+    CPU), so this is the check that catches a Mosaic lowering regression on
+    the real chip.  Results go to PARITY_SPOT.json + stderr; the bench metric
+    is still printed either way (the driver needs its JSON line), but a
+    mismatch is loudly flagged.  Skip with TMT_BENCH_PARITY=0.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if os.environ.get("TMT_BENCH_PARITY") == "0":
+        return
+    try:
+        if jax.default_backend() != "tpu":
+            return
+        from tile_match_tpu.engine import step as engine_step
+        from tile_match_tpu.envs.batched import batched_reset
+        from tile_match_tpu.envs.fused import (
+            batched_step_fused,
+            batched_step_fused_sp,
+        )
+
+        b = 256
+        states, ts = jax.jit(lambda k: batched_reset(cfg, k, b))(
+            jax.random.PRNGKey(7)
+        )
+        mask = ts.info.effective_actions
+        fused = batched_step_fused_sp if cfg.any_special else batched_step_fused
+
+        @jax.jit
+        def both(states, mask, acts):
+            s1, r1, d1, i1 = fused(cfg, states, acts, mask)
+            s2, r2, d2, i2 = jax.vmap(
+                lambda s, a, m: engine_step(cfg, s, a, eff_mask=m)
+            )(states, acts, mask)
+            same = (
+                jnp.all(s1.colour == s2.colour)
+                & jnp.all(s1.kind == s2.kind)
+                & jnp.all(s1.key == s2.key)
+                & jnp.all(r1 == r2)
+                & jnp.all(i1.cascade_trips == i2.cascade_trips)
+                & jnp.all(i1.effective_actions == i2.effective_actions)
+            )
+            return s1, i1.effective_actions, same
+
+        key = jax.random.PRNGKey(8)
+        ok = True
+        for _ in range(2):
+            key, ka = jax.random.split(key)
+            logits = jnp.where(mask, 0.0, -jnp.inf)
+            acts = jnp.where(
+                mask.any(-1), jax.random.categorical(ka, logits, axis=-1), 0
+            ).astype(jnp.int32)
+            states, mask, same = both(states, mask, acts)
+            ok = ok and bool(same)
+        status = {"config": CFG_IDX, "parity_ok": ok, "batch": b, "steps": 2}
+    except Exception as e:  # never let the gate kill the bench metric
+        status = {"config": CFG_IDX, "parity_ok": None, "error": repr(e)[:500]}
+    with open(os.path.join(_DIR, "PARITY_SPOT.json"), "w") as f:
+        json.dump(status, f)
+    if status["parity_ok"] is False:
+        print(
+            "bench.py: COMPILED-KERNEL PARITY FAILURE (fused != vmapped "
+            "engine on-device) — see PARITY_SPOT.json",
+            file=sys.stderr,
+        )
+    else:
+        print(f"bench.py: parity spot check: {status}", file=sys.stderr)
+
+
 def measure_ours(batch: int, chunk: int, steps: int, reps: int) -> float:
     import jax
     import jax.numpy as jnp
@@ -220,6 +294,13 @@ def measure_ours(batch: int, chunk: int, steps: int, reps: int) -> float:
     # Warm the device claim with a tiny op (the remote tunnel's first
     # dispatch can take minutes) before anything is timed.
     float(jnp.zeros(()) + 1.0)
+
+    # Compiled-kernel parity gate, once per process (ADVICE r4: the test
+    # suite only exercises the kernels in interpret mode).
+    global _PARITY_DONE
+    if not _PARITY_DONE:
+        _PARITY_DONE = True
+        parity_spot_check(cfg)
 
     states, ts = jax.jit(lambda k: batched_reset(cfg, k, batch))(
         jax.random.PRNGKey(0)

@@ -135,6 +135,12 @@ def make_playable(cfg: EnvConfig, colour, kind, key, init_has_lines, init_top):
         (colour, kind, key, mask0, has_lines, top, jnp.asarray(False), tot),
     )
     gave_up = (~jnp.any(mask)) | has_lines  # cond still true at the cap
+    # A gave_up board may still contain lines, where the settled mask is not
+    # exact — and the corruption would persist for the rest of the episode
+    # (each step's mask feeds the next).  Zero the mask instead: every
+    # further action is a no-op, the episode runs out its timer, and the
+    # sticky ``truncated`` flag (fed by gave_up) marks the whole affair.
+    mask = jnp.where(gave_up, jnp.zeros_like(mask), mask)
     return colour, kind, key, shuffled, mask, gave_up
 
 

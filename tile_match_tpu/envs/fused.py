@@ -142,15 +142,6 @@ def fused_specials_cascade(cfg, colour, kind, sub_keys, interpret=False):
     T = cfg.max_cascades
     zi = jnp.zeros((B,), jnp.int32)
 
-    def active_b(colour, kind, trips):
-        return jax.vmap(
-            lambda c, k, t: has_any_line(cfg, c, k) & (t < T)
-        )(colour, kind, trips)
-
-    def cond(carry):
-        colour, kind, trips, elim, act, new, trunc, round_ = carry
-        return jnp.any(active_b(colour, kind, trips)) & (round_ < T)
-
     # Full trips run on a COMPACTED sub-batch: the classify/resolve machines'
     # inner while_loops execute max-over-batch pop counts, so running them
     # over all B boards when only the frozen few need a full trip multiplies
@@ -160,6 +151,25 @@ def fused_specials_cascade(cfg, colour, kind, sub_keys, interpret=False):
     # (TPU-lowered row scatters serialize; the one-hot contraction doesn't).
     NF = min(128, B)
     bi = jnp.arange(B, dtype=jnp.int32)
+
+    # The outer scheduling budget is decoupled from the per-board trip cap:
+    # each round advances at most NF frozen boards through their full trip,
+    # so a step where every board needs all T complex trips needs up to
+    # T * ceil(B / NF) rounds.  Per-board trips are already capped at T
+    # in-kernel (in_budget) and by do_full only touching frozen boards, so
+    # this bound only guards against a non-terminating loop — it can never
+    # starve a board out of its trip budget (a `round_ < T` bound could:
+    # boards beyond NF made zero progress in a round yet round_ advanced).
+    R_MAX = T * ((B + NF - 1) // NF)
+
+    def active_b(colour, kind, trips):
+        return jax.vmap(
+            lambda c, k, t: has_any_line(cfg, c, k) & (t < T)
+        )(colour, kind, trips)
+
+    def cond(carry):
+        colour, kind, trips, elim, act, new, trunc, round_ = carry
+        return jnp.any(active_b(colour, kind, trips)) & (round_ < R_MAX)
 
     def body(carry):
         colour, kind, trips, elim, act, new, trunc, round_ = carry
