@@ -232,7 +232,7 @@ def test_fused_sp_laser_creation_in_kernel():
         jnp.asarray([2, 2]), jnp.asarray([3, 2]),
     )
     z = jnp.zeros((1,), jnp.int32)
-    c_o, k_o, trips_o, elim_o, new_o, act_o, frozen_o, active_o = cascade_sp_chunk(
+    c_o, k_o, trips_o, elim_o, new_o, act_o, frozen_o, active_o, _ = cascade_sp_chunk(
         CFG_SP, sw_c[None], sw_k[None], jax.random.PRNGKey(5)[None],
         z, z, z, interpret=True,
     )
@@ -288,7 +288,7 @@ def test_fused_sp_single_activation_in_kernel():
         jnp.asarray([2, 2]), jnp.asarray([3, 2]),
     )
     z = jnp.zeros((1,), jnp.int32)
-    _, _, trips_o, _, _, act_o, frozen_o, _ = cascade_sp_chunk(
+    _, _, trips_o, _, _, act_o, frozen_o, _, _ = cascade_sp_chunk(
         CFG_SP, sw_c[None], sw_k[None], jax.random.PRNGKey(11)[None],
         z, z, z, interpret=True,
     )

@@ -122,14 +122,19 @@ def batched_step_fused(
 # ---------------------------------------------------------------------------
 
 
-def fused_specials_cascade(cfg, colour, kind, sub_keys, interpret=False):
+def fused_specials_cascade(cfg, colour, kind, sub_keys, interpret=False,
+                           with_stats=False):
     """The specials cascade at batch level: consume simple trips in the
     Pallas kernel, run ONE full classify/resolve trip per round for boards
     whose next trip is complex (`engine.specials_cascade_trip` — literally
     the same function the vmapped loop runs), repeat.
 
     Returns (colour, kind, elim, act, new, trips, trunc), bit-identical to
-    the vmapped cascade loop of ``engine.engine_move``.
+    the vmapped cascade loop of ``engine.engine_move``.  With ``with_stats``
+    (static) a kernel-coverage dict is appended: per-board defer-reason
+    bitmask (OR of ops.pallas_cascade.REASON_*), per-board full-machinery
+    trip count, and the executed round count — the telemetry behind
+    tools/kernel_coverage.py.
     """
     import jax.numpy as jnp
 
@@ -168,20 +173,25 @@ def fused_specials_cascade(cfg, colour, kind, sub_keys, interpret=False):
         )(colour, kind, trips)
 
     def cond(carry):
-        colour, kind, trips, elim, act, new, trunc, round_ = carry
+        (colour, kind, trips, elim, act, new, trunc, reasons, fullt,
+         round_) = carry
         return jnp.any(active_b(colour, kind, trips)) & (round_ < R_MAX)
 
     def body(carry):
-        colour, kind, trips, elim, act, new, trunc, round_ = carry
-        colour, kind, trips, elim, new_d, act_d, frozen, _ = cascade_sp_chunk(
+        (colour, kind, trips, elim, act, new, trunc, reasons, fullt,
+         round_) = carry
+        (
+            colour, kind, trips, elim, new_d, act_d, frozen, _, reasons_d,
+        ) = cascade_sp_chunk(
             cfg, colour, kind, sub_keys, trips, elim,
             jnp.zeros((B,), jnp.int32), interpret=interpret,
         )
         new = new + new_d
         act = act + act_d
+        reasons = jnp.bitwise_or(reasons, reasons_d)
 
         def do_full(args):
-            colour, kind, trips, elim, act, new, trunc = args
+            colour, kind, trips, elim, act, new, trunc, fullt = args
             order = jnp.argsort(jnp.where(frozen > 0, bi, B + bi))
             idx = order[:NF]  # frozen boards first, then padding boards
             taken = (frozen[idx] > 0)  # [NF] rows that really run
@@ -243,23 +253,35 @@ def fused_specials_cascade(cfg, colour, kind, sub_keys, interpret=False):
                 trunc | (
                     (hit_f.T @ jnp.where(o, 1.0, 0.0)[:, None])[:, 0] > 0
                 ),
+                fullt + touched.astype(jnp.int32),
             )
 
-        colour, kind, trips, elim, act, new, trunc = jax.lax.cond(
+        colour, kind, trips, elim, act, new, trunc, fullt = jax.lax.cond(
             jnp.any(frozen > 0),
             do_full,
             lambda args: args,
-            (colour, kind, trips, elim, act, new, trunc),
+            (colour, kind, trips, elim, act, new, trunc, fullt),
         )
-        return colour, kind, trips, elim, act, new, trunc, round_ + 1
+        return (
+            colour, kind, trips, elim, act, new, trunc, reasons, fullt,
+            round_ + 1,
+        )
 
-    colour, kind, trips, elim, act, new, trunc, _ = jax.lax.while_loop(
+    (
+        colour, kind, trips, elim, act, new, trunc, reasons, fullt, rounds,
+    ) = jax.lax.while_loop(
         cond,
         body,
-        (colour, kind, zi, zi, zi, zi, jnp.zeros((B,), bool), jnp.int32(0)),
+        (
+            colour, kind, zi, zi, zi, zi, jnp.zeros((B,), bool), zi, zi,
+            jnp.int32(0),
+        ),
     )
     # lines surviving the budget = cap truncation (mirrors engine_move)
     trunc = trunc | jax.vmap(lambda c, k: has_any_line(cfg, c, k))(colour, kind)
+    if with_stats:
+        stats = {"reasons": reasons, "full_trips": fullt, "rounds": rounds}
+        return colour, kind, elim, act, new, trips, trunc, stats
     return colour, kind, elim, act, new, trips, trunc
 
 
@@ -270,6 +292,7 @@ def batched_step_fused_sp(
     eff_mask,
     compute_post_mask: bool = True,
     interpret: bool = False,
+    with_stats: bool = False,
 ):
     """Specials-config drop-in for ``jax.vmap(engine.step)`` — swap and the
     combination branch are vmapped (the latter batch-gated), the cascade
@@ -335,9 +358,11 @@ def batched_step_fused_sp(
     key_after = jnp.where(eff[:, None], key_moved, states.key)
 
     # ---- cascade ----------------------------------------------------------
-    colour, kind, elim, act, new, trips, trunc = fused_specials_cascade(
-        cfg, colour, kind, sub, interpret=interpret
+    out = fused_specials_cascade(
+        cfg, colour, kind, sub, interpret=interpret, with_stats=with_stats
     )
+    colour, kind, elim, act, new, trips, trunc = out[:7]
+    stats = out[7] if with_stats else None
     # new specials filled holes → count as eliminations (`board.py:378`)
     elim = comb_elim + elim + new
     act = comb_act + act
@@ -382,4 +407,6 @@ def batched_step_fused_sp(
         truncated=truncated,
         cascade_trips=trips,
     )
+    if with_stats:
+        return next_states, elim, done, infos, stats
     return next_states, elim, done, infos

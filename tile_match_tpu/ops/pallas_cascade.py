@@ -215,8 +215,21 @@ def _lane_any(cells):
     )
 
 
+# Defer-reason bits (kernel-coverage telemetry): why a lane froze and
+# handed its trip to the full classify/resolve machinery.  A lane may carry
+# several bits.  Aggregated per rollout by tools/kernel_coverage.py to
+# drive which closed form to absorb next (VERDICT r4 item 3).
+REASON_LEN5 = 1  # >=5 primary with cookie enabled (cookie split)
+REASON_EXT4 = 2  # extension line of length >= 4 (laser-from-extension)
+REASON_EXT_BOMB = 4  # any extension candidate while bomb enabled (pairing)
+REASON_COOKIE_HIT = 8  # cookie in the union / activation closure
+REASON_UNCONVERGED = 16  # activation closure not converged within _NEXP
+REASON_CROSS = 32  # h-primary x v-primary crossing while bomb enabled
+
+
 def _simple_trip_tile(cfg: EnvConfig, union, aux, k):
-    """([1, TB] bool simple, [R, C, TB] bool create, i32 create_code_grid)
+    """([1, TB] bool simple, [R, C, TB] bool create, i32 create_code_grid,
+    [1, TB] i32 reason_bits)
     — ``simple``: this trip's DETECTED lines all classify as disjoint
     normals OR unshared length-4 laser creations touching no special tile;
     sequential resolution then degenerates to 'delete the union, then
@@ -256,11 +269,17 @@ def _simple_trip_tile(cfg: EnvConfig, union, aux, k):
     ext_bad = (aux["cand_h"] & (aux["hext"] >= 4)) | (
         aux["cand_v"] & (aux["vext"] >= 4)
     )
+    reasons = _lane_any(len_bad) * REASON_LEN5 + _lane_any(ext_bad) * REASON_EXT4
     complex_cells = len_bad | ext_bad
     if cfg.bomb:
-        complex_cells = complex_cells | aux["cand_h"] | aux["cand_v"] | (
-            aux["member_h"] & aux["member_v"]
+        ext_under_bomb = aux["cand_h"] | aux["cand_v"]
+        cross = aux["member_h"] & aux["member_v"]
+        reasons = (
+            reasons
+            + _lane_any(ext_under_bomb) * REASON_EXT_BOMB
+            + _lane_any(cross) * REASON_CROSS
         )
+        complex_cells = complex_cells | ext_under_bomb | cross
     # line-shape simplicity only; the kernel body combines it with the
     # special-tile analysis (no specials in the union, or exactly one
     # laser/bomb with a chain-free region — the single-activation case)
@@ -278,7 +297,7 @@ def _simple_trip_tile(cfg: EnvConfig, union, aux, k):
     )
     create = h4_pick | v4_pick
     code = jnp.where(h4_pick, h_code, jnp.where(v4_pick, v_code, 0))
-    return simple, create, code
+    return simple, create, code, reasons
 
 
 def _gravity_tile(x, R, empty_b=None):
@@ -534,20 +553,20 @@ def _cascade_sp_kernel(
     R, C, Tmax, cfg, limit_ref, col_ref, kind_ref, fills_ref,
     trips_ref, elim_ref, frozen_ref,
     out_col, out_kind, out_trips, out_elim, out_new, out_act, out_frozen,
-    out_active,
+    out_active, out_reasons,
 ):
     x0 = col_ref[:].reshape(R, C, TB)
     k0 = kind_ref[:].reshape(R, C, TB)
     limit = limit_ref[0, 0]
 
     def cond(carry):
-        x, k, trips, elim, new, act, frozen, t, go = carry
+        x, k, trips, elim, new, act, frozen, reasons, t, go = carry
         return go & (t < limit)
 
     def body(carry):
-        x, k, trips, elim, new, act, frozen, t, go = carry
+        x, k, trips, elim, new, act, frozen, reasons, t, go = carry
         union, exists, aux = _union_mask_tile(x, R, C, want_aux=True)
-        shape_ok, create, code = _simple_trip_tile(cfg, union, aux, k)
+        shape_ok, create, code, rbits = _simple_trip_tile(cfg, union, aux, k)
 
         # ---- special tiles in the union: none, or a CONVERGED laser/bomb
         # activation set.  `board.py:503-528` wipes each activated special's
@@ -620,9 +639,18 @@ def _cascade_sp_kernel(
         # freeze = "needs a full trip next"; boards at the trip cap are NOT
         # frozen (the cap, not the machinery, stops them — engine_move's
         # per-board `it < max_cascades`)
-        frozen = jnp.maximum(
-            frozen, exists_i * jnp.where(simple, 0, 1) * in_budget
+        newly_frozen = (
+            exists_i * jnp.where(simple, 0, 1) * in_budget
+            * jnp.where(frozen == 0, 1, 0)
         )
+        frozen = jnp.maximum(frozen, newly_frozen)
+        # telemetry: why did this lane freeze? (bitmask, OR-accumulated)
+        rbits = (
+            rbits
+            + jnp.where(bad_sp > 0, REASON_COOKIE_HIT, 0)
+            + jnp.where((unconverged > 0) & (bad_sp == 0), REASON_UNCONVERGED, 0)
+        )
+        reasons = jnp.bitwise_or(reasons, rbits * newly_frozen)
         proc3 = proc[:, None, :] > 0  # [1, 1, TB] broadcast
         dele = (union | region) & proc3
         cre = create & proc3
@@ -652,15 +680,16 @@ def _cascade_sp_kernel(
         k = jnp.where(refill, 1, k)
         trips = trips + proc
         go = jnp.sum(proc) > 0
-        return x, k, trips, elim, new, act, frozen, t + 1, go
+        return x, k, trips, elim, new, act, frozen, reasons, t + 1, go
 
-    x, k, trips, elim, new, act, frozen, _, _ = jax.lax.while_loop(
+    x, k, trips, elim, new, act, frozen, reasons, _, _ = jax.lax.while_loop(
         cond,
         body,
         (
             x0, k0, trips_ref[:], elim_ref[:],
             jnp.zeros_like(elim_ref[:]), jnp.zeros_like(elim_ref[:]),
-            frozen_ref[:], jnp.int32(0), jnp.asarray(True),
+            frozen_ref[:], jnp.zeros_like(elim_ref[:]), jnp.int32(0),
+            jnp.asarray(True),
         ),
     )
 
@@ -672,6 +701,7 @@ def _cascade_sp_kernel(
     out_act[:] = act
     out_frozen[:] = frozen
     out_active[:] = _active_tile(x)
+    out_reasons[:] = reasons
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -742,6 +772,7 @@ def cascade_sp_chunk(
             pl.BlockSpec((1, TB), lambda i: (0, i)),
             pl.BlockSpec((1, TB), lambda i: (0, i)),
             pl.BlockSpec((1, TB), lambda i: (0, i)),
+            pl.BlockSpec((1, TB), lambda i: (0, i)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((R * C, Bp), jnp.int32),
@@ -752,10 +783,14 @@ def cascade_sp_chunk(
             jax.ShapeDtypeStruct((1, Bp), jnp.int32),
             jax.ShapeDtypeStruct((1, Bp), jnp.int32),
             jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
         ),
         interpret=interpret,
     )(limit, col_t, kind_t, fills, trips, elim, frozen)
-    col_o, kind_o, trips_o, elim_o, new_o, act_o, frozen_o, active_o = out
+    (
+        col_o, kind_o, trips_o, elim_o, new_o, act_o, frozen_o, active_o,
+        reasons_o,
+    ) = out
 
     def from_t(a):
         return jnp.transpose(a[:, :B]).reshape(B, R, C)
@@ -769,4 +804,5 @@ def cascade_sp_chunk(
         act_o[0, :B],
         frozen_o[0, :B],
         active_o[0, :B] > 0,
+        reasons_o[0, :B],
     )
