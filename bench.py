@@ -30,10 +30,15 @@ the user pinned TMT_BENCH_BATCH/TMT_BENCH_CHUNK or on the CPU fallback
 path.
 
 Baseline: the reference env stepped on CPU.  numba is not installed in this
-image, so the reference runs de-jitted (no-op njit shim); its measured rate
-is multiplied by NJIT_FACTOR=30 as a conservative stand-in for numba's
-speedup of the @njit hot path, so vs_baseline is not inflated.  Cached in
-bench_baseline.json, keyed per config.
+image, so the reference runs de-jitted (no-op njit shim) and the baseline
+is CALIBRATED from measurements (see get_baseline): the per-step time spent
+in the njit'able `is_move_effective` sweep is measured directly, its numba
+speedup is bounded by this repo's C++ engine running the same windowed
+test, and only that portion of the step is accelerated (Amdahl) — the rest
+of the reference's step is pure Python that numba never touches.  The
+legacy guessed whole-step NJIT_FACTOR=30 remains only as a fallback when
+the C++ toolchain is absent.  Cached in bench_baseline.json per config with
+the measured components.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
@@ -100,8 +105,20 @@ REPS = int(os.environ.get("TMT_BENCH_REPS", "3"))
 MAX_RETRIES = int(os.environ.get("TMT_BENCH_RETRIES", "6"))
 
 
-def measure_reference_cpu(budget_s: float = 5.0) -> float:
-    """Reference env steps/s on CPU (de-jitted), random effective actions."""
+BASELINE_METHOD = "calibrated-v5"
+
+
+def measure_reference_cpu(budget_s: float = 5.0):
+    """Reference env on CPU (de-jitted), random effective actions.
+
+    Returns (steps_per_s, sweep_seconds_per_step, sweep_calls_per_step):
+    the module-level ``is_move_effective`` — the reference's ONLY njit hot
+    function of consequence (`board.py:735-787`, called O(actions) per step)
+    — is wrapped with a perf counter in both modules that bind it, so the
+    per-step time attributable to the njit'able sweep is measured, not
+    guessed.  (Wrapper overhead ~0.2us/call vs ~5-15us/call measured work:
+    <3% and it biases the calibrated factor conservatively downward.)
+    """
     import types
 
     import numpy as np
@@ -124,28 +141,99 @@ def measure_reference_cpu(budget_s: float = 5.0) -> float:
     if os.path.isdir(ref_path) and ref_path not in sys.path:
         sys.path.insert(0, ref_path)
     try:
+        import tile_match_gym.board as refboard
+        import tile_match_gym.tile_match_env as refenvmod
         from tile_match_gym.tile_match_env import TileMatchEnv
     except Exception:
-        return 0.0
+        return 0.0, 0.0, 0.0
 
-    env = TileMatchEnv(
-        R, C, K, MOVES, list(COLOURLESS), list(COLOUR_SP), seed=0
+    sweep = {"n": 0, "t": 0.0}
+    orig = refboard.is_move_effective
+
+    def timed(*a, **kw):
+        t0 = time.perf_counter()
+        r = orig(*a, **kw)
+        sweep["t"] += time.perf_counter() - t0
+        sweep["n"] += 1
+        return r
+
+    refboard.is_move_effective = timed
+    if getattr(refenvmod, "is_move_effective", None) is orig:
+        refenvmod.is_move_effective = timed
+    try:
+        env = TileMatchEnv(
+            R, C, K, MOVES, list(COLOURLESS), list(COLOUR_SP), seed=0
+        )
+        rng = np.random.default_rng(0)
+        obs, info = env.reset()
+        sweep["n"] = 0
+        sweep["t"] = 0.0
+        n = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < budget_s:
+            eff = info["effective_actions"]
+            a = (
+                int(rng.choice(eff))
+                if eff
+                else int(rng.integers(env.num_actions))
+            )
+            obs, r, done, _, info = env.step(a)
+            n += 1
+            if done:
+                obs, info = env.reset()
+        dt = time.perf_counter() - t0
+    finally:
+        refboard.is_move_effective = orig
+        if getattr(refenvmod, "is_move_effective", None) is timed:
+            refenvmod.is_move_effective = orig
+    return n / dt, sweep["t"] / max(n, 1), sweep["n"] / max(n, 1)
+
+
+def measure_cpp_sweep_percall(budget_s: float = 2.0) -> float:
+    """Seconds per single windowed effective test in this repo's C++ engine
+    (`csrc/tmt_engine.cpp` move_effective via tmt_effective_mask) — an upper
+    bound on what numba could make the reference's `is_move_effective`
+    (same algorithm, same window) run at."""
+    import numpy as np
+
+    from tile_match_tpu.config import EnvConfig
+    from tile_match_tpu.native import NativeEngine
+
+    cfg = EnvConfig.create(
+        R, C, K, MOVES, colourless_specials=COLOURLESS,
+        colour_specials=COLOUR_SP,
     )
-    rng = np.random.default_rng(0)
-    obs, info = env.reset()
+    eng = NativeEngine(cfg, seed=1)
+    eng.generate_board()
+    A = cfg.num_actions
+    # warm
+    eng.effective_mask()
     n = 0
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < budget_s:
-        eff = info["effective_actions"]
-        a = int(rng.choice(eff)) if eff else int(rng.integers(env.num_actions))
-        obs, r, done, _, info = env.step(a)
+        eng.effective_mask()
         n += 1
-        if done:
-            obs, info = env.reset()
-    return n / (time.perf_counter() - t0)
+    dt = time.perf_counter() - t0
+    return dt / (n * A)
 
 
 def get_baseline() -> float:
+    """The numba-reference stand-in rate, CALIBRATED (VERDICT r4 item 4).
+
+    numba cannot be installed here, so the baseline is built from
+    measurements instead of the legacy guessed 30x factor:
+
+      t_step      de-jitted reference seconds/step (measured)
+      T_sweep     of which, seconds/step inside `is_move_effective` (measured)
+      f_sweep     de-jitted-vs-C++ per-call ratio for that exact windowed
+                  test (measured; C++ >= numba, so this over-corrects in the
+                  baseline's FAVOUR)
+      baseline    1 / (t_step - T_sweep + T_sweep / f_sweep)   [Amdahl]
+
+    i.e. only the portion of the step numba would actually compile gets the
+    speedup.  Falls back to the legacy conservative 30x whole-step factor if
+    the C++ engine is unavailable.
+    """
     cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
@@ -154,16 +242,46 @@ def get_baseline() -> float:
         if "baseline_steps_per_s" in cache and cache.get("config") == [10, 10, 4]:
             cache = {"3": cache}
     key = str(CFG_IDX)
-    if key in cache and "baseline_steps_per_s" in cache[key]:
+    if (
+        key in cache
+        and "baseline_steps_per_s" in cache[key]
+        and cache[key].get("method") == BASELINE_METHOD
+    ):
         return cache[key]["baseline_steps_per_s"]
-    raw = measure_reference_cpu()
-    baseline = max(raw * NJIT_FACTOR, 1.0)
-    cache[key] = {
+    raw, sweep_s, sweep_calls = measure_reference_cpu()
+    entry = {
         "config": [R, C, K],
         "reference_dejitted_steps_per_s": raw,
-        "njit_factor": NJIT_FACTOR,
-        "baseline_steps_per_s": baseline,
+        "sweep_seconds_per_step": sweep_s,
+        "sweep_calls_per_step": sweep_calls,
     }
+    t_step = 1.0 / raw if raw > 0 else 0.0
+    try:
+        cpp_percall = measure_cpp_sweep_percall()
+        dejit_percall = sweep_s / max(sweep_calls, 1e-9)
+        f_sweep = max(dejit_percall / max(cpp_percall, 1e-12), 1.0)
+        njit_step = t_step - sweep_s + sweep_s / f_sweep
+        baseline = max(1.0 / njit_step, 1.0) if njit_step > 0 else 1.0
+        entry.update(
+            {
+                "method": BASELINE_METHOD,
+                "cpp_sweep_seconds_per_call": cpp_percall,
+                "dejitted_sweep_seconds_per_call": dejit_percall,
+                "measured_sweep_factor": f_sweep,
+                "baseline_steps_per_s": baseline,
+            }
+        )
+    except Exception as e:  # no C++ toolchain → legacy conservative factor
+        baseline = max(raw * NJIT_FACTOR, 1.0)
+        entry.update(
+            {
+                "method": BASELINE_METHOD,
+                "fallback": f"legacy njit_factor={NJIT_FACTOR}: {e!r}"[:300],
+                "njit_factor": NJIT_FACTOR,
+                "baseline_steps_per_s": baseline,
+            }
+        )
+    cache[key] = entry
     with open(BASELINE_CACHE, "w") as f:
         json.dump(cache, f)
     return baseline

@@ -29,7 +29,31 @@ jax.config.update("jax_platforms", "cpu")
 # caching makes repeat runs far faster and shrinks the window for the rare
 # in-process XLA-CPU compiler crash (observed as a segfault deep in
 # backend_compile_and_load after ~1500 compilations in one process).
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_test_cache")
+#
+# The cache dir is keyed by a fingerprint of the host's CPU features: the
+# XLA:CPU cache key does NOT include the target machine, so an entry AOT-
+# compiled on a different host (these sandboxes migrate) loads with
+# "machine type doesn't match" and can MIS-EXECUTE (observed: one spurious
+# bit-parity failure; XLA logs warn "could lead to execution errors such
+# as SIGILL").  A per-machine dir makes stale entries unreachable.
+def _cpu_fingerprint() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+
+
+_cache_dir = os.path.join(
+    os.path.dirname(__file__), f".jax_test_cache_{_cpu_fingerprint()}"
+)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

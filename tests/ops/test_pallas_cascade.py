@@ -34,7 +34,9 @@ def test_fused_matches_reference_interpret(seed):
     colour, keys = _boards(seed, B)
     got = fused_cascade(CFG, colour, keys, interpret=True)
     want = cascade_reference(CFG, colour, keys)
-    for g, w, name in zip(got, want, ["colour", "elim", "trips", "trunc"]):
+    for g, w, name in zip(
+        got, want, ["colour", "elim", "trips", "trunc", "mask"]
+    ):
         assert np.array_equal(np.asarray(g), np.asarray(w)), (
             f"{name} diverges at seed {seed}:\n{np.asarray(g)}\n!=\n"
             f"{np.asarray(w)}"
@@ -52,8 +54,41 @@ def test_fused_line_free_is_identity():
         )
     )
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(4))
-    out, elim, trips, trunc = fused_cascade(CFG, colour, keys, interpret=True)
+    out, elim, trips, trunc, _mask = fused_cascade(
+        CFG, colour, keys, interpret=True
+    )
     assert np.array_equal(np.asarray(out), np.asarray(colour))
     assert int(np.asarray(elim).sum()) == 0
     assert int(np.asarray(trips).sum()) == 0
     assert not np.asarray(trunc).any()
+
+
+def test_settled_mask_sp_matches_xla():
+    """The kernel's specials settled mask must reproduce
+    effective_mask_settled's formula exactly on arbitrary boards."""
+    from tile_match_tpu.ops.effective import effective_mask_settled
+    from tile_match_tpu.ops.pallas_cascade import settled_mask_sp
+
+    cfg = EnvConfig.create(
+        7, 9, 4, 10,
+        colourless_specials=("cookie",),
+        colour_specials=("vertical_laser", "horizontal_laser", "bomb"),
+    )
+    rng = np.random.default_rng(5)
+    B = 140  # covers lane padding
+    colour = rng.integers(1, 5, size=(B, 7, 9)).astype(np.int32)
+    kind = np.ones((B, 7, 9), np.int32)
+    for b in range(B):
+        for _ in range(rng.integers(0, 6)):
+            r, c = rng.integers(0, 7), rng.integers(0, 9)
+            k = int(rng.choice([2, 3, 4, -1]))
+            kind[b, r, c] = k
+            if k == -1:
+                colour[b, r, c] = 0
+    got = settled_mask_sp(
+        cfg, jnp.asarray(colour), jnp.asarray(kind), interpret=True
+    )
+    want = jax.vmap(
+        lambda c, k: effective_mask_settled(cfg, c, k)
+    )(jnp.asarray(colour), jnp.asarray(kind))
+    assert np.array_equal(np.asarray(got), np.asarray(want))

@@ -49,9 +49,17 @@ def _refill_native(cfg, colour, kind, key):
     return colour, kind, key
 
 
-def make_playable(cfg: EnvConfig, colour, kind, key, init_has_lines, init_top):
+def make_playable(
+    cfg: EnvConfig, colour, kind, key, init_has_lines, init_top, mask0=None
+):
     """The regenerate/playability loop shared by ``generate_board``
     (`board.py:102-109`) and the end of ``move`` (`board.py:381-391`).
+
+    ``mask0``: optional precomputed effective-action mask for the INCOMING
+    board (the fused no-specials cascade kernel computes it in-kernel) —
+    only valid when ``init_has_lines`` is statically False, so the
+    clear-lines phase cannot have changed the board before the mask is
+    first consulted.
 
     While the board has no effective move or still has colour lines: if
     lines exist, clear them (native scheme: redraw run-member cells, see
@@ -111,7 +119,8 @@ def make_playable(cfg: EnvConfig, colour, kind, key, init_has_lines, init_top):
     colour, key, has_lines, top, tot = clear_lines(
         colour, key, init_has_lines, init_top, jnp.int32(0)
     )
-    mask0 = effective_mask_settled(cfg, colour, kind)
+    if mask0 is None:
+        mask0 = effective_mask_settled(cfg, colour, kind)
 
     def cond(carry):
         colour, kind, key, mask, has_lines, top, shuffled, tot = carry

@@ -69,20 +69,22 @@ def batched_step_fused(
 
     # ---- the fused cascade ------------------------------------------------
     # Non-effective boards pass through line-free → 0 trips, 0 elim, and no
-    # fills/keys consumed, exactly like the no_op branch.
-    colour, elim, trips, trunc = fused_cascade(
+    # fills/keys consumed, exactly like the no_op branch.  The kernel also
+    # hands back the post-cascade settled effective mask (computed on the
+    # lane layout, replacing the step's largest XLA remainder).
+    colour, elim, trips, trunc, kmask = fused_cascade(
         cfg, colour, sub, interpret=interpret
     )
 
     # ---- playability loop + post mask (vmapped; usually 0 iterations) -----
-    def playable(colour, kind, key):
+    def playable(colour, kind, key, m0):
         return make_playable(
-            cfg, colour, kind, key, jnp.asarray(False), jnp.int32(0)
+            cfg, colour, kind, key, jnp.asarray(False), jnp.int32(0), mask0=m0
         )
 
     p_colour, p_kind, p_key, p_shuffled, p_mask, p_gave_up = jax.vmap(
         playable
-    )(colour, states.kind, key_after)
+    )(colour, states.kind, key_after, kmask)
 
     # engine's no_op branch skips make_playable: keep originals there
     effm = eff[:, None, None]
@@ -368,15 +370,19 @@ def batched_step_fused_sp(
     act = comb_act + act
     trunc = trunc | comb_ovf
 
-    # ---- playability + post mask (vmapped) --------------------------------
-    def playable(colour, kind, key):
+    # ---- playability + post mask (vmapped; mask from the Pallas kernel) ---
+    from ..ops.pallas_cascade import settled_mask_sp
+
+    kmask = settled_mask_sp(cfg, colour, kind, interpret=interpret)
+
+    def playable(colour, kind, key, m0):
         return make_playable(
-            cfg, colour, kind, key, jnp.asarray(False), jnp.int32(0)
+            cfg, colour, kind, key, jnp.asarray(False), jnp.int32(0), mask0=m0
         )
 
     p_colour, p_kind, p_key, p_shuffled, p_mask, p_gave_up = jax.vmap(
         playable
-    )(colour, kind, key_after)
+    )(colour, kind, key_after, kmask)
 
     out_colour = jnp.where(effm, p_colour, states.colour)
     out_kind = jnp.where(effm, p_kind, states.kind)

@@ -14,14 +14,18 @@ boards instead of the whole batch, which also cuts total executed trips.
 Bit-exactness with the XLA path (`engine.engine_move`'s cascade loop +
 `ops/lines.line_union_mask` + `ops/board_ops.gravity/apply_refill`): refill
 randomness is counter-based — trip t draws `draw_colour_grid(fold_in(sub,
-t))` — so the wrapper precomputes fills for a chunk of trips OUTSIDE the
-kernel with the exact jax.random ops the XLA loop uses, and the kernel
-consumes fills[t] only on trips a lane actually executes.  The parity test
-(tests/ops/test_pallas_cascade.py) asserts identical boards / eliminations /
-trip counts between both paths.
+t))` — and the kernel REPLICATES jax's threefry bit-for-bit in-kernel
+(`_tf2x32_tile`/`_fill_tile`): the wrapper precomputes only the 4
+fold_in+split key words per (lane, trip) with the exact jax.random ops, and
+the kernel derives the full refill grid from them on trips a lane actually
+executes (this replaced shipping [TC, R*C, B] fill grids through HBM).  The
+kernel also emits the post-cascade settled effective-action mask
+(`_settled_mask_tile`), removing the step's largest XLA remainder.  The
+parity test (tests/ops/test_pallas_cascade.py) asserts identical boards /
+eliminations / trip counts / masks between both paths.
 
 The wrapper chunks trips (TC per kernel launch, outer `lax.while_loop`):
-fills for max_cascades=64 potential trips would be ~95% wasted, while a
+keys for max_cascades=64 potential trips would be ~95% wasted, while a
 chunk regenerates only while some board still cascades.
 """
 
@@ -47,10 +51,14 @@ TC = 8  # trips per kernel launch (chunk)
 
 
 def _shift_c(a, d, fill):
-    """value at (r, c, b) taken from (r, c-d, b); out-of-board = fill."""
+    """value at (r, c, b) taken from (r, c-d, b); out-of-board = fill.
+    |d| >= C saturates to all-fill (Mosaic rejects zero-size vector
+    operands, hit by the 4-cell mask stencils on 3-wide boards)."""
     R, C, B = a.shape
     if d == 0:
         return a
+    if abs(d) >= C:
+        return jnp.full((R, C, B), fill, a.dtype)
     if d > 0:
         pad = jnp.full((R, d, B), fill, a.dtype)
         return jnp.concatenate([pad, a[:, : C - d, :]], axis=1)
@@ -63,6 +71,8 @@ def _shift_r(a, d, fill):
     R, C, B = a.shape
     if d == 0:
         return a
+    if abs(d) >= R:
+        return jnp.full((R, C, B), fill, a.dtype)
     if d > 0:
         pad = jnp.full((d, C, B), fill, a.dtype)
         return jnp.concatenate([pad, a[: R - d, :, :]], axis=0)
@@ -96,6 +106,23 @@ def _chain_from(ok, shift, sgn, n):
         cur = cur * shift(ok_i, -sgn * k, 0)
         cnt = cnt + cur
     return cnt
+
+
+def _chain_wsum(val_i, eq_i, shift, sgn, n):
+    """Run-sum companion of ``_chain``: accumulate ``val`` over the cells
+    linked consecutively in one direction:
+    out[p] = Σ_{k>=1} (∏_{j=0..k-1} eq[p - sgn*j]) * val[p - sgn*k].
+    With eq = the maximal same-colour run links, ``val + wsum(left) +
+    wsum(right)`` is the sum of ``val`` over the whole run — used for
+    per-line share counts and for broadcasting a value from a line's share
+    cell to every cell of the line.  i32 throughout (Mosaic i1-shift
+    restriction)."""
+    cur = eq_i
+    out = cur * shift(val_i, sgn, 0)
+    for k in range(2, n):
+        cur = cur * shift(eq_i, sgn * (k - 1), 0)
+        out = out + cur * shift(val_i, sgn * k, 0)
+    return out
 
 
 def _cummax(a, shift, n, minval):
@@ -197,11 +224,26 @@ def _union_mask_tile(x, R, C, want_aux=False):
             "hl": lcnt + rcnt + 1,
             "vl": ucnt + dcnt + 1,
             "lcnt": lcnt,  # in-line offset of a primary-h cell from its start
+            "rcnt": rcnt,
             "ucnt": ucnt,  # in-line offset of a primary-v cell from its top
+            "dcnt": dcnt,
             "cand_h": cand_h,
             "cand_v": cand_v,
             "hext": 1 + lext + rext,
             "vext": 1 + uext + dext,
+            "lext": lext,
+            "rext": rext,
+            "uext": uext,
+            "dext": dext,
+            # i32 run links for run-sum broadcasts (maximal colour runs ==
+            # the primary lines exactly, by run maximality)
+            "eq_l": jnp.where(eq_l, 1, 0),
+            "eq_r": jnp.where(eq_r, 1, 0),
+            "eq_u": jnp.where(eq_u, 1, 0),
+            "eq_d": jnp.where(eq_d, 1, 0),
+            "cover_h": cover_h,
+            "cover_v": cover_v,
+            "nonprim": nonprim,
         }
         return union, exists, aux
     return union, exists
@@ -215,89 +257,373 @@ def _lane_any(cells):
     )
 
 
+# ---------------------------------------------------------------------------
+# In-kernel refill generation: bit-exact replication of
+# ``draw_colour_grid(key)`` == ``jax.random.randint(key, (R, C), 1, K+1)``
+# with jax's partitionable threefry:
+#   k1, k2 = split(key);  bits_k = tf2x32(k, x0=0, x1=cell_index) ⊕-combined;
+#   offset = ((hi % K) * ((2^16 % K)^2 % K) + lo % K) % K;  colour = 1+offset
+# (jax._src.random._randint + prng._threefry_random_bits_partitionable).
+# All in i32: adds wrap identically, shifts are explicit logical, and the
+# unsigned remainder is computed from 16-bit halves so every intermediate is
+# nonnegative.  The fold_in/split key words (4 per lane-trip) are precomputed
+# outside the kernel — replacing the [TC, R*C, B] precomputed fill grids
+# (26 MB of HBM round-trip per chunk at b8192) with [TC, 4, B].
+# ---------------------------------------------------------------------------
+
+
+def _tf2x32_tile(ka, kb, x0, x1):
+    """Threefry-2x32 (20 rounds, jax's exact schedule) on i32 tiles."""
+    rot1 = (13, 15, 26, 6)
+    rot2 = (17, 29, 16, 24)
+    ks0, ks1 = ka, kb
+    ks2 = ka ^ kb ^ jnp.int32(0x1BD11BDA)
+
+    def rotl(x, d):
+        return (x << d) | jax.lax.shift_right_logical(x, 32 - d)
+
+    def round4(x0, x1, rots):
+        for r in rots:
+            x0 = x0 + x1
+            x1 = rotl(x1, r)
+            x1 = x1 ^ x0
+        return x0, x1
+
+    x0 = x0 + ks0
+    x1 = x1 + ks1
+    x0, x1 = round4(x0, x1, rot1)
+    x0 = x0 + ks1
+    x1 = x1 + ks2 + 1
+    x0, x1 = round4(x0, x1, rot2)
+    x0 = x0 + ks2
+    x1 = x1 + ks0 + 2
+    x0, x1 = round4(x0, x1, rot1)
+    x0 = x0 + ks0
+    x1 = x1 + ks1 + 3
+    x0, x1 = round4(x0, x1, rot2)
+    x0 = x0 + ks1
+    x1 = x1 + ks2 + 4
+    x0, x1 = round4(x0, x1, rot1)
+    x0 = x0 + ks2
+    x1 = x1 + ks0 + 5
+    return x0, x1
+
+
+def _fill_tile(kw, R, C, K):
+    """[R, C, TB] i32 refill colours from the 4 split-key words
+    kw: [4, TB] i32 (k1_hi, k1_lo, k2_hi, k2_lo)."""
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C, TB), 0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (R, C, TB), 1)
+    iota = r_ids * C + c_ids
+    z = jnp.zeros((R, C, TB), jnp.int32)
+
+    def bits(i):
+        a = kw[i : i + 1, :][None]  # [1, 1, TB]
+        b = kw[i + 1 : i + 2, :][None]
+        b1, b2 = _tf2x32_tile(a, b, z, iota)
+        return b1 ^ b2
+
+    hi = bits(0)
+    lo = bits(2)
+
+    def u32_rem(x):
+        h = jax.lax.shift_right_logical(x, 16)
+        l = x & 0xFFFF
+        return ((h % K) * ((1 << 16) % K) + l % K) % K
+
+    mult = ((1 << 16) % K) ** 2 % K
+    off = (u32_rem(hi) * mult + u32_rem(lo)) % K
+    return 1 + off
+
+
+def _fill_key_words(sub_keys, bases, n_trips, Bp):
+    """[n_trips, 4, Bp] i32: raw words of split(fold_in(sub_b, base_b + j), 2)
+    for j in range(n_trips) — the per-(lane, trip) inputs of
+    :func:`_fill_tile`, computed with the exact jax.random ops the XLA
+    cascade loop uses."""
+    B = sub_keys.shape[0]
+
+    def per_board(k, base):
+        def per_trip(j):
+            kd = jax.random.split(jax.random.fold_in(k, base + j), 2)
+            return jax.lax.bitcast_convert_type(kd, jnp.int32).reshape(4)
+
+        return jax.vmap(per_trip)(jnp.arange(n_trips, dtype=jnp.int32))
+
+    kws = jax.vmap(per_board)(sub_keys, bases)  # [B, n_trips, 4]
+    kws = jnp.transpose(kws, (1, 2, 0))
+    return jnp.pad(kws, ((0, 0), (0, 0), (0, Bp - B)))
+
+
 # Defer-reason bits (kernel-coverage telemetry): why a lane froze and
 # handed its trip to the full classify/resolve machinery.  A lane may carry
 # several bits.  Aggregated per rollout by tools/kernel_coverage.py to
 # drive which closed form to absorb next (VERDICT r4 item 3).
-REASON_LEN5 = 1  # >=5 primary with cookie enabled (cookie split)
-REASON_EXT4 = 2  # extension line of length >= 4 (laser-from-extension)
-REASON_EXT_BOMB = 4  # any extension candidate while bomb enabled (pairing)
-REASON_COOKIE_HIT = 8  # cookie in the union / activation closure
+REASON_LEN5 = 1  # cookie line too long (>=9) or a shared >=5 line
+REASON_EXT4 = 2  # extension line of length >= 5 (>= 4 when bomb disabled)
+REASON_EXT_BOMB = 4  # prim+ext pair outside the absorbed case table
+REASON_COOKIE_HIT = 8  # cookie hit by the activation closure
 REASON_UNCONVERGED = 16  # activation closure not converged within _NEXP
-REASON_CROSS = 32  # h-primary x v-primary crossing while bomb enabled
+REASON_CROSS = 32  # h x v primary crossing outside the absorbed case table
+REASON_MULTI = 64  # a line with >=2 shares / overlapping extensions
 
 
 def _simple_trip_tile(cfg: EnvConfig, union, aux, k):
     """([1, TB] bool simple, [R, C, TB] bool create, i32 create_code_grid,
-    [1, TB] i32 reason_bits)
-    — ``simple``: this trip's DETECTED lines all classify as disjoint
-    normals OR unshared length-4 laser creations touching no special tile;
-    sequential resolution then degenerates to 'delete the union, then
-    create a laser at each length-4 line's pick cell' (the in-kernel
-    closed form).  Conservative: any uncertainty marks the lane complex
-    and defers to the full machinery.
+    [R, C, TB] bool keep, [1, TB] i32 reason_bits)
 
-    Complexity sources (`board.py:284-325, 460-471`):
-    * a detected PRIMARY of length >= 5 with cookie enabled (cookie
-      classification splits the line), or an extension of length >= 4
-      (laser-from-extension — deferred);
-    * with bomb enabled, ANY coordinate sharing → bomb pairing — every
-      extension line shares its generator cell with its primary, so any
-      extension at all, or an h-primary crossing a v-primary, is complex;
-    * a special tile among the union's cells → activation chains.
+    Decide whether this trip's DETECTED lines all fall into closed-form
+    classification+resolution categories, and emit the category outcomes as
+    cell masks.  When ``simple``, sequential resolution degenerates to
+    'delete (union minus ``keep``), then create a special of kind
+    ``code`` at each ``create`` cell' — the kernel body combines this with
+    the converged special-activation closure.  Conservative: any
+    uncertainty marks the lane complex and defers to the machinery.
 
-    Length-4 UNSHARED primaries are handled in-kernel: the laser is
-    created at the line's second coordinate (`get_special_creation_pos`
-    middle rule for n=4 with an empty taken set, `board.py:441-447`) with
-    the line's colour; creation positions of disjoint lines can never
-    collide.  ``create`` marks those cells; ``create_code`` is the static
-    laser kind per orientation (`board.py:296-302` fallback quirk), or 0
-    when the orientation's classification falls back to normal (plain
-    delete, nothing created).
+    Absorbed categories (all provably order-independent, or with the pop
+    order — sort by first-coord row, stable, `board.py:282` — resolved
+    statically from the geometry):
+
+    * disjoint length-3 lines → normals: delete (`board.py:322-325`);
+    * UNSHARED length-4 primaries → laser at the line's second coordinate
+      (`get_special_creation_pos` middle rule, `board.py:441-447`), with
+      the `board.py:296-302` fallback quirk (h-line falls back to a
+      vertical laser; v-line falls back to normal) encoded statically;
+    * UNSHARED length-5..8 primaries with cookie enabled → cookie at the
+      line's third coordinate, colour 0; only the first five coordinates
+      are deleted (`board.py:287-292` takes `line[:5]`), so length-6/7
+      lines KEEP their offset>=5 cells; a length-8 line's remainder is
+      re-queued as a length-3 normal and deleted too;
+    * with bomb enabled, lines sharing a coordinate, in isolated pairs
+      (each line has exactly ONE share).  The pair pops in a fixed order
+      (a vertical primary's top row is always above the flag row; an
+      extension's first row is at or below its generator's primary's —
+      ties keep primaries first, `board.py:282` stable sort), so the
+      outcome is closed-form per case (`board.py:287-320`):
+        - both length 3 → bomb at the shared cell (the corner =
+          (mode row, mode col) of the 5 match coords IS the share point,
+          `board.py:441-447`), both lines deleted;
+        - one line length 4 popping SECOND → bomb at the share point; the
+          partner contributes only its 3 closest coords (`board.py:309-312`)
+          so its unique farthest-from-share cell SURVIVES;
+        - a length-4 line popping FIRST → laser (len==4 precedes the bomb
+          check, `board.py:295`), partner resolves alone afterwards;
+      cases where one creation position lands inside the other creating
+      line (the `taken_pos` filter would shift the second pick,
+      `board.py:437`) are deferred.
+
+    A special tile among the deleted cells is handled by the kernel body's
+    activation closure; ``keep`` cells are excluded from its seed (their
+    specials are never part of a match's coords).
     """
+    R, C = cfg.num_rows, cfg.num_cols
     # classification codes for a length-4 line by orientation (static)
     h_code = 3 if cfg.horizontal_laser else (2 if cfg.vertical_laser else 0)
     v_code = 2 if cfg.vertical_laser else 0
 
+    member_h, member_v = aux["member_h"], aux["member_v"]
+    hl, vl = aux["hl"], aux["vl"]
+    lcnt, rcnt = aux["lcnt"], aux["rcnt"]
+    ucnt, dcnt = aux["ucnt"], aux["dcnt"]
+    cand_h, cand_v = aux["cand_h"], aux["cand_v"]
+    hext, vext = aux["hext"], aux["vext"]
+    lext, rext = aux["lext"], aux["rext"]
+    uext, dext = aux["uext"], aux["dext"]
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, member_h.shape, 0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, member_h.shape, 1)
+    zb = jnp.zeros_like(member_h)
+    zi = jnp.zeros_like(hl)
+
+    def rs_row(val_i):  # sum of val over the cell's horizontal colour run
+        return (
+            val_i
+            + _chain_wsum(val_i, aux["eq_l"], _shift_c, 1, C)
+            + _chain_wsum(val_i, aux["eq_r"], _shift_c, -1, C)
+        )
+
+    def rs_col(val_i):
+        return (
+            val_i
+            + _chain_wsum(val_i, aux["eq_u"], _shift_r, 1, R)
+            + _chain_wsum(val_i, aux["eq_d"], _shift_r, -1, R)
+        )
+
+    if not cfg.bomb:
+        # Sharing cannot pair lines: every line classifies by length alone.
+        if cfg.cookie:
+            len_bad = (member_h & (hl >= 9)) | (member_v & (vl >= 9))
+        else:
+            len_bad = zb  # >=5 primaries are plain normals
+        ext_bad = (cand_h & (hext >= 4)) | (cand_v & (vext >= 4))
+        reasons = (
+            _lane_any(len_bad) * REASON_LEN5 + _lane_any(ext_bad) * REASON_EXT4
+        )
+        simple = _lane_any(len_bad | ext_bad) == 0
+
+        h4 = member_h & (hl == 4) & (lcnt == 1) if h_code else zb
+        v4 = member_v & (vl == 4) & (ucnt == 1) if v_code else zb
+        if cfg.cookie:
+            ck_h = member_h & (hl >= 5) & (hl <= 8) & (lcnt == 2)
+            ck_v = member_v & (vl >= 5) & (vl <= 8) & (ucnt == 2)
+            keep = (member_h & (hl >= 6) & (hl <= 7) & (lcnt >= 5)) | (
+                member_v & (vl >= 6) & (vl <= 7) & (ucnt >= 5)
+            )
+        else:
+            ck_h = ck_v = keep = zb
+        create = h4 | v4 | ck_h | ck_v
+        code = jnp.where(
+            h4, h_code, jnp.where(v4, v_code, jnp.where(ck_h | ck_v, -1, 0))
+        )
+        return simple, create, code, keep, reasons
+
+    # ---- bomb enabled: the full pair case table ---------------------------
+    cross = member_h & member_v
+    # share cells per line: a cross cell, or an extension's generator
+    share_h = jnp.where(member_h & (member_v | cand_v), 1, 0)
+    share_v = jnp.where(member_v & (member_h | cand_h), 1, 0)
+    nsh_h = rs_row(share_h)  # valid at member_h cells (run == colour run)
+    nsh_v = rs_col(share_v)
+    unsh_h = nsh_h == 0
+    unsh_v = nsh_v == 0
+
+    # ---- lane defers ------------------------------------------------------
+    multi = (
+        (member_h & (nsh_h >= 2))
+        | (member_v & (nsh_v >= 2))
+        # extension lines sharing a non-primary cell with each other
+        | (aux["nonprim"] & aux["cover_h"] & aux["cover_v"])
+    )
+    # two same-orientation extensions in one row/col could overlap; one per
+    # row/col is the common case and provably overlap-free
+    nch_row = jnp.sum(jnp.where(cand_h, 1, 0), axis=1, keepdims=True)
+    ncv_col = jnp.sum(jnp.where(cand_v, 1, 0), axis=0, keepdims=True)
+    multi = multi | (cand_h & (nch_row >= 2)) | (cand_v & (ncv_col >= 2))
+
     if cfg.cookie:
-        len_bad = (aux["member_h"] & (aux["hl"] >= 5)) | (
-            aux["member_v"] & (aux["vl"] >= 5)
+        len_bad = (member_h & ((hl >= 9) | ((hl >= 5) & ~unsh_h))) | (
+            member_v & ((vl >= 9) | ((vl >= 5) & ~unsh_v))
         )
     else:
-        # without cookie, >= 5 primaries classify as plain normals
-        len_bad = jnp.zeros_like(aux["member_h"])
-    ext_bad = (aux["cand_h"] & (aux["hext"] >= 4)) | (
-        aux["cand_v"] & (aux["vext"] >= 4)
-    )
-    reasons = _lane_any(len_bad) * REASON_LEN5 + _lane_any(ext_bad) * REASON_EXT4
-    complex_cells = len_bad | ext_bad
-    if cfg.bomb:
-        ext_under_bomb = aux["cand_h"] | aux["cand_v"]
-        cross = aux["member_h"] & aux["member_v"]
-        reasons = (
-            reasons
-            + _lane_any(ext_under_bomb) * REASON_EXT_BOMB
-            + _lane_any(cross) * REASON_CROSS
+        # a shared >=5 line still bomb-pairs (order-dependent) → defer
+        len_bad = (member_h & (hl >= 5) & ~unsh_h) | (
+            member_v & (vl >= 5) & ~unsh_v
         )
-        complex_cells = complex_cells | ext_under_bomb | cross
-    # line-shape simplicity only; the kernel body combines it with the
-    # special-tile analysis (no specials in the union, or exactly one
-    # laser/bomb with a chain-free region — the single-activation case)
-    simple = _lane_any(complex_cells) == 0
+    ext_bad = (cand_h & (hext >= 5)) | (cand_v & (vext >= 5))
 
-    h4_pick = (
-        aux["member_h"] & (aux["hl"] == 4) & (aux["lcnt"] == 1)
-        if h_code
-        else jnp.zeros_like(aux["member_h"])
+    # ---- pair cases at cross cells (v-primary always pops first) ----------
+    cr33 = cross & (hl == 3) & (vl == 3)  # bomb@p, full delete
+    cr43 = cross & (hl == 4) & (vl == 3)  # bomb@p, h-run survivor
+    crv4 = cross & (vl == 4) & ((hl == 3) | (hl == 4))  # v-laser (+h-laser)
+    cross_bad = cross & ~(cr33 | cr43 | crv4)
+
+    # ---- pair cases at h-extension generators (on a v-primary; the
+    # primary always pops first: its top row <= the generator's row) -------
+    gh_b3 = cand_h & (vl == 3) & (hext == 3)  # bomb@p, full delete
+    gh_b4 = cand_h & (vl == 3) & (hext == 4)  # bomb@p, ext survivor
+    gh_l3 = cand_h & (vl == 4) & (hext == 3)  # v-laser; ext normal
+    #       v-laser + ext h-laser, unless the v-laser pick (top+1) is the
+    #       generator row (it would be taken out of the ext's pick set)
+    gh_l4 = cand_h & (vl == 4) & (hext == 4) & (ucnt != 1)
+    gh_bad = cand_h & (hext <= 4) & ~(gh_b3 | gh_b4 | gh_l3 | gh_l4)
+
+    # ---- pair cases at v-extension generators (on an h-primary; the ext
+    # pops first iff it extends above the primary's row, uext >= 1) --------
+    gv_b3 = cand_v & (hl == 3) & (vext == 3)  # bomb@p, full delete
+    gv_b4d = cand_v & (hl == 3) & (vext == 4) & (uext == 0)  # bomb@p, ext surv
+    gv_el = cand_v & (hl == 3) & (vext == 4) & (uext >= 1)  # ext v-laser
+    gv_b43 = cand_v & (hl == 4) & (vext == 3) & (uext >= 1)  # bomb@p, run surv
+    gv_hl3 = cand_v & (hl == 4) & (vext == 3) & (uext == 0)  # h-laser; ext nml
+    gv_ll2 = cand_v & (hl == 4) & (vext == 4) & (uext >= 2)  # both lasers
+    #       h-laser pops first; its pick (start+1) must not be the
+    #       generator column (taken_pos would shift the ext's pick)
+    gv_ll0 = cand_v & (hl == 4) & (vext == 4) & (uext == 0) & (lcnt != 1)
+    gv_bad = cand_v & (vext <= 4) & ~(
+        gv_b3 | gv_b4d | gv_el | gv_b43 | gv_hl3 | gv_ll2 | gv_ll0
     )
-    v4_pick = (
-        aux["member_v"] & (aux["vl"] == 4) & (aux["ucnt"] == 1)
-        if v_code
-        else jnp.zeros_like(aux["member_v"])
+
+    reasons = (
+        _lane_any(len_bad) * REASON_LEN5
+        + _lane_any(ext_bad) * REASON_EXT4
+        + _lane_any(gh_bad | gv_bad) * REASON_EXT_BOMB
+        + _lane_any(cross_bad) * REASON_CROSS
+        + _lane_any(multi) * REASON_MULTI
     )
-    create = h4_pick | v4_pick
-    code = jnp.where(h4_pick, h_code, jnp.where(v4_pick, v_code, 0))
-    return simple, create, code, reasons
+    simple = (
+        _lane_any(len_bad | ext_bad | multi | cross_bad | gh_bad | gv_bad)
+        == 0
+    )
+
+    # ---- creations --------------------------------------------------------
+    bomb_cells = cr33 | cr43 | gh_b3 | gh_b4 | gv_b3 | gv_b4d | gv_b43
+
+    # v-lasers on a length-4 v-primary: unshared, or a pair case where it
+    # pops first.  One v-primary per column → column broadcast to the pick
+    # cell (offset 1 from the top, `board.py:447`).
+    v4_flag = jnp.max(
+        jnp.where(crv4 | gh_l3 | gh_l4, 1, 0), axis=0, keepdims=True
+    )  # [1, C, TB]
+    v4 = member_v & (vl == 4) & (ucnt == 1) & (unsh_v | (v4_flag > 0))
+    # h-lasers on a length-4 h-primary: broadcast along the RUN (several
+    # h-runs can share the flag row)
+    h4_flag = rs_row(
+        jnp.where((crv4 & (hl == 4)) | gv_hl3 | gv_ll2 | gv_ll0, 1, 0)
+    )
+    h4 = member_h & (hl == 4) & (lcnt == 1) & (unsh_h | (h4_flag > 0))
+
+    # extension lasers: pick = ext's second coordinate.  One candidate per
+    # row/col (enforced above) → row/col broadcast of the target index.
+    ext_vl = gv_el | gv_ll2 | gv_ll0  # target row = r - uext + 1
+    tgt_vr = jnp.sum(
+        jnp.where(ext_vl, r_ids - uext + 2, 0), axis=0, keepdims=True
+    )  # [1, C, TB], +1 sentinel
+    ext_vl_cells = (r_ids + 1) == tgt_vr
+    ext_hl = gh_l4  # target col = c - lext + 1
+    tgt_hc = jnp.sum(
+        jnp.where(ext_hl, c_ids - lext + 2, 0), axis=1, keepdims=True
+    )  # [R, 1, TB]
+    ext_hl_cells = (c_ids + 1) == tgt_hc
+
+    # cookies on unshared length-5..8 primaries
+    if cfg.cookie:
+        ck_h = member_h & (hl >= 5) & (hl <= 8) & unsh_h & (lcnt == 2)
+        ck_v = member_v & (vl >= 5) & (vl <= 8) & unsh_v & (ucnt == 2)
+        ck = ck_h | ck_v
+    else:
+        ck = zb
+
+    # ---- survivors (cells of the union the resolution never touches) ------
+    # length-4 partner popping second into a bomb: its unique farthest cell
+    # from the share point survives (`board.py:309-312` takes the 3 closest)
+    hrun_s = cr43 | gv_b43
+    surv_col = jnp.where(rcnt > lcnt, c_ids + rcnt, c_ids - lcnt)
+    sc_b = rs_row(jnp.where(hrun_s, surv_col + 1, 0))
+    keep = member_h & ((c_ids + 1) == sc_b)
+    # h-extension survivor (row broadcast)
+    hx_surv = jnp.where(rext > lext, c_ids + rext, c_ids - lext)
+    tgt_sc = jnp.sum(
+        jnp.where(gh_b4, hx_surv + 1, 0), axis=1, keepdims=True
+    )
+    keep = keep | (((c_ids + 1) == tgt_sc) & aux["nonprim"])
+    # v-extension survivor (uext==0 case: farthest is r + dext)
+    tgt_sr = jnp.sum(
+        jnp.where(gv_b4d, r_ids + dext + 1, 0), axis=0, keepdims=True
+    )
+    keep = keep | (((r_ids + 1) == tgt_sr) & aux["nonprim"])
+    if cfg.cookie:
+        keep = keep | (member_h & (hl >= 6) & (hl <= 7) & unsh_h & (lcnt >= 5))
+        keep = keep | (member_v & (vl >= 6) & (vl <= 7) & unsh_v & (ucnt >= 5))
+
+    vl_cells = (v4 | ext_vl_cells) if v_code else zb
+    hl_cells = (h4 | ext_hl_cells) if h_code else zb
+    create = bomb_cells | vl_cells | hl_cells | ck
+    code = jnp.where(
+        bomb_cells,
+        4,
+        jnp.where(
+            vl_cells, v_code, jnp.where(hl_cells, h_code, jnp.where(ck, -1, 0))
+        ),
+    )
+    return simple, create, code, keep, reasons
 
 
 def _gravity_tile(x, R, empty_b=None):
@@ -366,9 +692,159 @@ def _active_tile(x):
     return jnp.max(flat, axis=0, keepdims=True)
 
 
+def _settled_mask_tile(x, R, C):
+    """[A, TB] i32 effective-action mask for SETTLED all-normal boards —
+    the in-kernel transcription of ``ops/effective.effective_mask_settled``
+    with every kind term constant-folded (no-specials boards are all
+    kind==1): 8 colour stencils per swap direction.  Output rows follow the
+    action-table order (`board.py:78-93`): C*(R-1) down-swaps row-major,
+    then R*(C-1) right-swaps row-major."""
+    F = jnp.int32(-1)
+
+    def v(dr, dc):  # value at (r+dr, c+dc); out-of-board = -1
+        out = x
+        if dc:
+            out = _shift_c(out, -dc, F)
+        if dr:
+            out = _shift_r(out, -dr, F)
+        return out
+
+    A_ = x
+    # down-swap (r,c)<->(r+1,c): coord1 takes B = colour below, coord2
+    # takes A.  Stencils through coord1 exclude the partner cell (away=up);
+    # through coord2 exclude upward (away=down).
+    B_ = v(1, 0)
+    down = (
+        ((v(0, -2) == B_) & (v(0, -1) == B_))
+        | ((v(0, -1) == B_) & (v(0, 1) == B_))
+        | ((v(0, 1) == B_) & (v(0, 2) == B_))
+        | ((v(-2, 0) == B_) & (v(-1, 0) == B_))
+        | ((v(1, -2) == A_) & (v(1, -1) == A_))
+        | ((v(1, -1) == A_) & (v(1, 1) == A_))
+        | ((v(1, 1) == A_) & (v(1, 2) == A_))
+        | ((v(2, 0) == A_) & (v(3, 0) == A_))
+    )
+    Br = v(0, 1)
+    right = (
+        ((v(-2, 0) == Br) & (v(-1, 0) == Br))
+        | ((v(-1, 0) == Br) & (v(1, 0) == Br))
+        | ((v(1, 0) == Br) & (v(2, 0) == Br))
+        | ((v(0, -2) == Br) & (v(0, -1) == Br))
+        | ((v(-2, 1) == A_) & (v(-1, 1) == A_))
+        | ((v(-1, 1) == A_) & (v(1, 1) == A_))
+        | ((v(1, 1) == A_) & (v(2, 1) == A_))
+        | ((v(0, 2) == A_) & (v(0, 3) == A_))
+    )
+    down_i = jnp.where(down, 1, 0)[: R - 1].reshape((R - 1) * C, TB)
+    right_i = jnp.where(right, 1, 0)[:, : C - 1, :].reshape(R * (C - 1), TB)
+    return jnp.concatenate([down_i, right_i], axis=0)
+
+
+def _settled_mask_sp_tile(x, k, R, C, any_special):
+    """[A, TB] i32 settled effective mask for boards WITH specials — the
+    full ``effective_mask_settled`` semantics: every stencil ANDs the last
+    (rightmost/bottom) cell's kind >= 0 (post-swap kind when the last cell
+    is a swapped cell — the cookie-end quirk), plus the special-pair /
+    any-cookie terms (`board.py:741-745`)."""
+    FC = jnp.int32(-1)
+    FK = jnp.int32(1)
+
+    def v(dr, dc):
+        out = x
+        if dc:
+            out = _shift_c(out, -dc, FC)
+        if dr:
+            out = _shift_r(out, -dr, FC)
+        return out
+
+    def vk(dr, dc):
+        out = k
+        if dc:
+            out = _shift_c(out, -dc, FK)
+        if dr:
+            out = _shift_r(out, -dr, FK)
+        return out
+
+    A_ = x
+    kA = k
+    # down-swap (r,c)<->(r+1,c)
+    B_ = v(1, 0)
+    kB = vk(1, 0)
+    down = (
+        ((v(0, -2) == B_) & (v(0, -1) == B_) & (kB >= 0))
+        | ((v(0, -1) == B_) & (v(0, 1) == B_) & (vk(0, 1) >= 0))
+        | ((v(0, 1) == B_) & (v(0, 2) == B_) & (vk(0, 2) >= 0))
+        | ((v(-2, 0) == B_) & (v(-1, 0) == B_) & (kB >= 0))
+        | ((v(1, -2) == A_) & (v(1, -1) == A_) & (kA >= 0))
+        | ((v(1, -1) == A_) & (v(1, 1) == A_) & (vk(1, 1) >= 0))
+        | ((v(1, 1) == A_) & (v(1, 2) == A_) & (vk(1, 2) >= 0))
+        | ((v(2, 0) == A_) & (v(3, 0) == A_) & (vk(3, 0) >= 0))
+    )
+    if any_special:
+        down = down | (
+            ((kA != 0) & (kA != 1) & (kB != 0) & (kB != 1))
+            | (kA < 0)
+            | (kB < 0)
+        )
+    Br = v(0, 1)
+    kBr = vk(0, 1)
+    right = (
+        ((v(-2, 0) == Br) & (v(-1, 0) == Br) & (kBr >= 0))
+        | ((v(-1, 0) == Br) & (v(1, 0) == Br) & (vk(1, 0) >= 0))
+        | ((v(1, 0) == Br) & (v(2, 0) == Br) & (vk(2, 0) >= 0))
+        | ((v(0, -2) == Br) & (v(0, -1) == Br) & (kBr >= 0))
+        | ((v(-2, 1) == A_) & (v(-1, 1) == A_) & (kA >= 0))
+        | ((v(-1, 1) == A_) & (v(1, 1) == A_) & (vk(1, 1) >= 0))
+        | ((v(1, 1) == A_) & (v(2, 1) == A_) & (vk(2, 1) >= 0))
+        | ((v(0, 2) == A_) & (v(0, 3) == A_) & (vk(0, 3) >= 0))
+    )
+    if any_special:
+        right = right | (
+            ((kA != 0) & (kA != 1) & (kBr != 0) & (kBr != 1))
+            | (kA < 0)
+            | (kBr < 0)
+        )
+    down_i = jnp.where(down, 1, 0)[: R - 1].reshape((R - 1) * C, TB)
+    right_i = jnp.where(right, 1, 0)[:, : C - 1, :].reshape(R * (C - 1), TB)
+    return jnp.concatenate([down_i, right_i], axis=0)
+
+
+def _mask_sp_kernel(R, C, col_ref, kind_ref, out_mask):
+    x = col_ref[:].reshape(R, C, TB)
+    k = kind_ref[:].reshape(R, C, TB)
+    out_mask[:] = _settled_mask_sp_tile(x, k, R, C, True)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def settled_mask_sp(cfg: EnvConfig, colour_b, kind_b, interpret: bool = False):
+    """Kernel-computed ``effective_mask_settled`` for a batch of
+    specials-config boards: bool[B, A]."""
+    B, R, C = colour_b.shape
+    A = cfg.num_actions
+    Bp = ((B + TB - 1) // TB) * TB
+    n_tiles = Bp // TB
+
+    def to_t(a, fill):
+        a = jnp.transpose(a.reshape(B, R * C)).astype(jnp.int32)
+        return jnp.pad(a, ((0, 0), (0, Bp - B)), constant_values=fill)
+
+    out = pl.pallas_call(
+        functools.partial(_mask_sp_kernel, R, C),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((R * C, TB), lambda i: (0, i)),
+            pl.BlockSpec((R * C, TB), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((A, TB), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((A, Bp), jnp.int32),
+        interpret=interpret,
+    )(to_t(colour_b, 0), to_t(kind_b, 1))
+    return jnp.transpose(out[:, :B]) > 0
+
+
 def _cascade_kernel(
-    R, C, limit_ref, col_ref, fills_ref, trips_ref, elim_ref,
-    out_col, out_trips, out_elim, out_active,
+    R, C, K, limit_ref, col_ref, keys_ref, trips_ref, elim_ref,
+    out_col, out_trips, out_elim, out_active, out_mask,
 ):
     x0 = col_ref[:].reshape(R, C, TB)
     trips0 = trips_ref[:]  # (1, TB)
@@ -387,7 +863,8 @@ def _cascade_kernel(
             jnp.where(union, 1, 0).reshape(-1, TB), axis=0, keepdims=True
         )
         x = _gravity_tile(x, R)
-        fill = fills_ref[pl.ds(t, 1)].reshape(R, C, TB)
+        kw = keys_ref[pl.ds(t, 1)].reshape(4, TB)
+        fill = _fill_tile(kw, R, C, K)
         x = jnp.where(x == 0, fill, x)
         trips = trips + jnp.where(exists, 1, 0)
         return x, trips, elim, t + 1
@@ -400,6 +877,10 @@ def _cascade_kernel(
     out_trips[:] = trips
     out_elim[:] = elim
     out_active[:] = _active_tile(x)
+    # post-cascade effective-action mask, free of the step's biggest XLA
+    # remainder (the vmapped settled-mask stencils were 47% of the
+    # no-specials step, BENCH.md r4 roofline)
+    out_mask[:] = _settled_mask_tile(x, R, C)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -408,12 +889,14 @@ def fused_cascade(cfg: EnvConfig, colour_b, sub_keys, interpret: bool = False):
 
     colour_b: i32[B, R, C] post-swap boards; sub_keys: per-board threefry
     keys (the `sub` of `engine_move`'s `key, sub = split(key)`).  Returns
-    (colour_b, elim_b, trips_b, truncated_b), bit-identical to the XLA
-    cascade loop (same fills: trip t of board b draws
-    `draw_colour_grid(fold_in(sub_b, t))`).
+    (colour_b, elim_b, trips_b, truncated_b, mask_b) — bit-identical to the
+    XLA cascade loop (same fills: trip t of board b draws
+    `draw_colour_grid(fold_in(sub_b, t))`, replicated in-kernel) plus the
+    post-cascade settled effective-action mask (bool[B, A]).
     """
     B, R, C = colour_b.shape
     T = cfg.max_cascades
+    A = cfg.num_actions
     Bp = ((B + TB - 1) // TB) * TB
     n_tiles = Bp // TB
 
@@ -423,21 +906,7 @@ def fused_cascade(cfg: EnvConfig, colour_b, sub_keys, interpret: bool = False):
     trips = jnp.zeros((1, Bp), jnp.int32)
     elim = jnp.zeros((1, Bp), jnp.int32)
 
-    def gen_fills(t0):
-        """fills for trips t0..t0+TC-1: [TC, R*C, Bp] — the exact draws the
-        XLA loop makes (fold_in + draw_colour_grid), computed in parallel."""
-        ts = t0 + jnp.arange(TC, dtype=jnp.int32)
-
-        def per_board(k):
-            return jax.vmap(
-                lambda t: draw_colour_grid(jax.random.fold_in(k, t), cfg)
-            )(ts)
-
-        f = jax.vmap(per_board)(sub_keys)  # [B, TC, R, C]
-        f = jnp.transpose(f.reshape(B, TC, R * C), (1, 2, 0))
-        return jnp.pad(f, ((0, 0), (0, 0), (0, Bp - B)))
-
-    kernel = functools.partial(_cascade_kernel, R, C)
+    kernel = functools.partial(_cascade_kernel, R, C, cfg.num_colours)
 
     def chunk_call(col_t, fills, trips, elim, limit):
         return pl.pallas_call(
@@ -446,7 +915,7 @@ def fused_cascade(cfg: EnvConfig, colour_b, sub_keys, interpret: bool = False):
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # (1,1) limit scalar
                 pl.BlockSpec((R * C, TB), lambda i: (0, i)),
-                pl.BlockSpec((TC, R * C, TB), lambda i: (0, 0, i)),
+                pl.BlockSpec((TC, 4, TB), lambda i: (0, 0, i)),
                 pl.BlockSpec((1, TB), lambda i: (0, i)),
                 pl.BlockSpec((1, TB), lambda i: (0, i)),
             ],
@@ -455,32 +924,41 @@ def fused_cascade(cfg: EnvConfig, colour_b, sub_keys, interpret: bool = False):
                 pl.BlockSpec((1, TB), lambda i: (0, i)),
                 pl.BlockSpec((1, TB), lambda i: (0, i)),
                 pl.BlockSpec((1, TB), lambda i: (0, i)),
+                pl.BlockSpec((A, TB), lambda i: (0, i)),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((R * C, Bp), jnp.int32),
                 jax.ShapeDtypeStruct((1, Bp), jnp.int32),
                 jax.ShapeDtypeStruct((1, Bp), jnp.int32),
                 jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((A, Bp), jnp.int32),
             ),
             interpret=interpret,
         )(limit, col_t, fills, trips, elim)
 
     def run_chunk(carry):
-        col_t, trips, elim, t0, act = carry
-        fills = gen_fills(t0)
+        col_t, trips, elim, t0, act, mask = carry
+        fills = _fill_key_words(
+            sub_keys, jnp.full((B,), 1, jnp.int32) * t0, TC, Bp
+        )
         limit = jnp.minimum(jnp.int32(TC), T - t0).reshape(1, 1)
-        col_t, trips, elim, act = chunk_call(col_t, fills, trips, elim, limit)
-        return col_t, trips, elim, t0 + TC, act
+        col_t, trips, elim, act, mask = chunk_call(
+            col_t, fills, trips, elim, limit
+        )
+        return col_t, trips, elim, t0 + TC, act, mask
 
     def outer_cond(carry):
-        col_t, trips, elim, t0, act = carry
+        col_t, trips, elim, t0, act, mask = carry
         return (jnp.sum(act) > 0) & (t0 < T)
 
     # the first chunk always runs (0-trip batches exit in-kernel instantly)
     carry = run_chunk(
-        (col_t, trips, elim, jnp.int32(0), jnp.ones((1, Bp), jnp.int32))
+        (
+            col_t, trips, elim, jnp.int32(0), jnp.ones((1, Bp), jnp.int32),
+            jnp.zeros((A, Bp), jnp.int32),
+        )
     )
-    col_t, trips, elim, t0, act = jax.lax.while_loop(
+    col_t, trips, elim, t0, act, mask = jax.lax.while_loop(
         outer_cond, run_chunk, carry
     )
 
@@ -488,13 +966,18 @@ def fused_cascade(cfg: EnvConfig, colour_b, sub_keys, interpret: bool = False):
     # per-lane truncation: still lined after the trip budget (mirrors the
     # XLA loop's post-exit has_any_line check in engine_move)
     truncated = act[0, :B] > 0
-    return colour_out, elim[0, :B], trips[0, :B], truncated
+    # post-cascade settled effective mask (kernel-computed; inactive lanes'
+    # masks were recomputed identically on their unchanged boards)
+    mask_out = jnp.transpose(mask[:, :B]) > 0  # [B, A] bool
+    return colour_out, elim[0, :B], trips[0, :B], truncated, mask_out
 
 
 def cascade_reference(cfg: EnvConfig, colour_b, sub_keys):
-    """The XLA twin of `fused_cascade` (vmapped while_loop, same fills) —
-    the parity oracle for the kernel in tests."""
+    """The XLA twin of `fused_cascade` (vmapped while_loop, same fills,
+    same post-cascade settled mask) — the parity oracle for the kernel in
+    tests."""
     from .board_ops import apply_refill, gravity
+    from .effective import effective_mask_settled
     from .lines import has_any_line, line_union_mask
 
     def one(colour, sub):
@@ -519,7 +1002,8 @@ def cascade_reference(cfg: EnvConfig, colour_b, sub_keys):
             cond, body, (colour, kind, jnp.int32(0), jnp.int32(0))
         )
         trunc = has_any_line(cfg, colour, kind)
-        return colour, elim, it, trunc
+        mask = effective_mask_settled(cfg, colour, kind)
+        return colour, elim, it, trunc, mask
 
     return jax.vmap(one)(colour_b, sub_keys)
 
@@ -550,7 +1034,7 @@ def cascade_reference(cfg: EnvConfig, colour_b, sub_keys):
 
 
 def _cascade_sp_kernel(
-    R, C, Tmax, cfg, limit_ref, col_ref, kind_ref, fills_ref,
+    R, C, Tmax, cfg, limit_ref, col_ref, kind_ref, keys_ref,
     trips_ref, elim_ref, frozen_ref,
     out_col, out_kind, out_trips, out_elim, out_new, out_act, out_frozen,
     out_active, out_reasons,
@@ -566,21 +1050,27 @@ def _cascade_sp_kernel(
     def body(carry):
         x, k, trips, elim, new, act, frozen, reasons, t, go = carry
         union, exists, aux = _union_mask_tile(x, R, C, want_aux=True)
-        shape_ok, create, code, rbits = _simple_trip_tile(cfg, union, aux, k)
+        shape_ok, create, code, keep, rbits = _simple_trip_tile(
+            cfg, union, aux, k
+        )
+        # cells the resolution actually deletes: `keep` marks union cells no
+        # match's coordinate list contains (cookie lines take only line[:5],
+        # a bomb's length-4 partner only its 3 closest coords)
+        dele_b = union & ~keep
 
-        # ---- special tiles in the union: none, or a CONVERGED laser/bomb
-        # activation set.  `board.py:503-528` wipes each activated special's
-        # column/row/3x3 cell by cell, recursing into any special the wipe
-        # hits — since every deletion under these conditions is a normal
-        # tile (side-effect-free) the wipes commute, so the closed form is
-        # "delete union ∪ all activated regions" with the activated set S
-        # computed as a transitive closure: start from the union's
-        # lasers/bombs, add every special any region hits, re-expand.
-        # Cookies anywhere in the closure (activation-time colour choice)
-        # and closures that do not converge within _NEXP expansions stay
-        # complex and defer to the machinery. --------------------------------
+        # ---- special tiles among the deleted cells: none, or a CONVERGED
+        # laser/bomb activation set.  `board.py:503-528` wipes each
+        # activated special's column/row/3x3 cell by cell, recursing into
+        # any special the wipe hits — since every deletion under these
+        # conditions is a normal tile (side-effect-free) the wipes commute,
+        # so the closed form is "delete cells ∪ all activated regions" with
+        # the activated set S computed as a transitive closure: start from
+        # the deleted cells' lasers/bombs, add every special any region
+        # hits, re-expand.  Cookies anywhere in the closure
+        # (activation-time colour choice) and closures that do not converge
+        # within _NEXP expansions stay complex and defer to the machinery.
         _NEXP = 4
-        spec_cells = union & (k != 1)
+        spec_cells = dele_b & (k != 1)
         n_spec = jnp.sum(
             jnp.where(spec_cells, 1, 0).reshape(-1, TB), axis=0, keepdims=True
         )  # [1, TB]
@@ -652,14 +1142,15 @@ def _cascade_sp_kernel(
         )
         reasons = jnp.bitwise_or(reasons, rbits * newly_frozen)
         proc3 = proc[:, None, :] > 0  # [1, 1, TB] broadcast
-        dele = (union | region) & proc3
+        dele = (dele_b | region) & proc3
         cre = create & proc3
         line_colour = x  # pre-delete colour at the pick cell
         x = jnp.where(dele, 0, x)
         k = jnp.where(dele, 0, k)
-        # phase-3 creation (`board.py:426-427, 572-597`): laser at each
-        # unshared length-4 line's pick cell, with the line's colour
-        x = jnp.where(cre, line_colour, x)
+        # phase-3 creation (`board.py:426-427, 572-597`): special at each
+        # pick cell with the line's colour — except cookies, which are
+        # colourless (code -1 → colour 0, `board.py:577-596`)
+        x = jnp.where(cre, jnp.where(code == -1, 0, line_colour), x)
         k = jnp.where(cre, code, k)
         n_created = jnp.sum(
             jnp.where(cre, 1, 0).reshape(-1, TB), axis=0, keepdims=True
@@ -674,7 +1165,8 @@ def _cascade_sp_kernel(
         new = new + proc * n_created
         act = act + proc * act_n
         x, k = _gravity_two_tile(x, k, R)
-        fill = fills_ref[pl.ds(t, 1)].reshape(R, C, TB)
+        kw = keys_ref[pl.ds(t, 1)].reshape(4, TB)
+        fill = _fill_tile(kw, R, C, cfg.num_colours)
         refill = (x == 0) & (k == 0)
         x = jnp.where(refill, fill, x)
         k = jnp.where(refill, 1, k)
@@ -736,18 +1228,10 @@ def cascade_sp_chunk(
     elim = vec(elim_b)
     frozen = vec(frozen_b)
 
-    # fills with per-lane bases: fills[j, :, lane] = draw for trip
-    # (trips[lane] + j) — identical to the XLA loop's fold_in(sub, it)
-    js = jnp.arange(TC, dtype=jnp.int32)
-
-    def per_board(k, base):
-        return jax.vmap(
-            lambda j: draw_colour_grid(jax.random.fold_in(k, base + j), cfg)
-        )(js)
-
-    f = jax.vmap(per_board)(sub_keys, trips_b.astype(jnp.int32))
-    f = jnp.transpose(f.reshape(B, TC, R * C), (1, 2, 0))
-    fills = jnp.pad(f, ((0, 0), (0, 0), (0, Bp - B)))
+    # fill keys with per-lane bases: fills for trip (trips[lane] + j) are
+    # generated IN-KERNEL from the split-key words — identical to the XLA
+    # loop's draw_colour_grid(fold_in(sub, it))
+    fills = _fill_key_words(sub_keys, trips_b.astype(jnp.int32), TC, Bp)
 
     limit = jnp.full((1, 1), TC, jnp.int32)
     kernel = functools.partial(_cascade_sp_kernel, R, C, T, cfg)
@@ -758,7 +1242,7 @@ def cascade_sp_chunk(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((R * C, TB), lambda i: (0, i)),
             pl.BlockSpec((R * C, TB), lambda i: (0, i)),
-            pl.BlockSpec((TC, R * C, TB), lambda i: (0, 0, i)),
+            pl.BlockSpec((TC, 4, TB), lambda i: (0, 0, i)),
             pl.BlockSpec((1, TB), lambda i: (0, i)),
             pl.BlockSpec((1, TB), lambda i: (0, i)),
             pl.BlockSpec((1, TB), lambda i: (0, i)),

@@ -29,12 +29,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REASON_NAMES = {
-    1: "len>=5 (cookie split)",
-    2: "extension >=4 (laser-from-ext)",
-    4: "extension under bomb (pairing)",
-    8: "cookie hit (union/closure)",
+    1: "cookie line >=9 or shared >=5",
+    2: "extension >=5 (>=4 if no bomb)",
+    4: "prim+ext pair outside case table",
+    8: "cookie hit (closure)",
     16: "closure unconverged",
-    32: "h x v crossing (bomb pair)",
+    32: "h x v crossing outside case table",
+    64: "multi-share / overlapping exts",
 }
 
 
@@ -79,7 +80,7 @@ def main():
                 cfg, states, acts, mask, compute_post_mask=False,
                 interpret=interpret, with_stats=True,
             )
-            bits = jnp.asarray([1, 2, 4, 8, 16, 32], jnp.int32)
+            bits = jnp.asarray([1, 2, 4, 8, 16, 32, 64], jnp.int32)
             per_reason = jnp.sum(
                 (stats["reasons"][:, None] & bits[None, :]) > 0, axis=0
             )  # [6] boards deferring for each reason this step
@@ -94,7 +95,7 @@ def main():
                 # board-step ENTIRELY (all its reasons must be absorbed)
                 "mask_hist": jnp.sum(
                     stats["reasons"][:, None]
-                    == jnp.arange(64, dtype=jnp.int32)[None, :],
+                    == jnp.arange(128, dtype=jnp.int32)[None, :],
                     axis=0,
                 ),
             }
@@ -124,11 +125,11 @@ def main():
         "frozen_board_steps": int(outs["frozen_boards"].sum()),
         "defer_reasons": {
             REASON_NAMES[b]: int(outs["per_reason"][:, i].sum())
-            for i, b in enumerate([1, 2, 4, 8, 16, 32])
+            for i, b in enumerate([1, 2, 4, 8, 16, 32, 64])
         },
         "mask_hist": {
             str(m): int(outs["mask_hist"][:, m].sum())
-            for m in range(64)
+            for m in range(128)
             if int(outs["mask_hist"][:, m].sum()) and m
         },
     }

@@ -45,7 +45,9 @@ def check_cascade(seed: int, B: int, R: int, C: int, K: int) -> None:
     keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(seed * 10_000, seed * 10_000 + B))
     got = fused_cascade(cfg, colour, keys)
     want = cascade_reference(cfg, colour, keys)
-    for g, w, name in zip(got, want, ["colour", "elim", "trips", "trunc"]):
+    for g, w, name in zip(
+        got, want, ["colour", "elim", "trips", "trunc", "mask"]
+    ):
         assert np.array_equal(np.asarray(g), np.asarray(w)), (
             f"cascade {name} diverges (seed {seed}, {R}x{C}x{K}, B={B})"
         )
