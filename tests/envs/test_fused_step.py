@@ -294,3 +294,43 @@ def test_fused_sp_single_activation_in_kernel():
     )
     assert int(frozen_o[0]) == 0, "activation was deferred, not kernelised"
     assert int(act_o[0]) >= 1
+
+
+def test_fused_sp_forced_combinations():
+    """Every board swaps a special pair (or cookie): the COMPACTED
+    combination branch must match the vmapped engine bit-for-bit —
+    including the evolved per-board keys, whose compaction round-trips
+    through 16-bit-half one-hot contractions (a TPU default-precision
+    bf16 matmul silently rounds values > 256; regression for the round-5
+    on-device parity failure)."""
+    from tile_match_tpu.ops.effective import effective_mask_settled
+
+    jax.clear_caches()
+    B = 24
+    states, ts = batched_reset(CFG_SP, jax.random.PRNGKey(3), B)
+    colour = np.asarray(states.colour).copy()
+    kind = np.asarray(states.kind).copy()
+    rng = np.random.default_rng(0)
+    acts = np.zeros(B, np.int32)
+    C = CFG_SP.num_cols
+    for b in range(B):
+        r, c = rng.integers(0, CFG_SP.num_rows - 1), rng.integers(0, C - 1)
+        k1, k2 = rng.choice([2, 3, 4, -1], size=2)
+        kind[b, r, c] = k1
+        kind[b, r + 1, c] = k2
+        if k1 == -1:
+            colour[b, r, c] = 0
+        if k2 == -1:
+            colour[b, r + 1, c] = 0
+        acts[b] = r * C + c  # the down-swap between the two specials
+    states = states.replace(colour=jnp.asarray(colour), kind=jnp.asarray(kind))
+    mask = jax.vmap(
+        lambda s: effective_mask_settled(CFG_SP, s.colour, s.kind)
+    )(states)
+    a = jnp.asarray(acts)
+    out_f = batched_step_fused_sp(CFG_SP, states, a, mask, interpret=True)
+    out_v = jax.vmap(lambda s, x, m: step(CFG_SP, s, x, eff_mask=m))(
+        states, a, mask
+    )
+    assert int(np.asarray(out_v[3].is_combination_match).sum()) >= B // 2
+    _assert_step_equal(out_f, out_v, "forced combos")

@@ -156,7 +156,10 @@ def fused_specials_cascade(cfg, colour, kind, sub_keys, interpret=False,
     # boards (leftovers simply stay frozen and are picked up next round),
     # run the machinery at width NF, scatter back via one-hot matmuls
     # (TPU-lowered row scatters serialize; the one-hot contraction doesn't).
-    NF = min(128, B)
+    # NF grows with the batch: at b8192+ the round-5 kernel leaves ~0.14
+    # full trips per board-step, so a wider compaction halves the round
+    # count for a marginal increase in max-over-compacted pops.
+    NF = min(256 if B >= 4096 else 128, B)
     bi = jnp.arange(B, dtype=jnp.int32)
 
     # The outer scheduling budget is decoupled from the per-board trip cap:
@@ -194,17 +197,23 @@ def fused_specials_cascade(cfg, colour, kind, sub_keys, interpret=False,
 
         def do_full(args):
             colour, kind, trips, elim, act, new, trunc, fullt = args
-            order = jnp.argsort(jnp.where(frozen > 0, bi, B + bi))
-            idx = order[:NF]  # frozen boards first, then padding boards
-            taken = (frozen[idx] > 0)  # [NF] rows that really run
+            # first-NF-frozen-boards selection WITHOUT a sort: the boards'
+            # rank among frozen boards (prefix sum) equates to a row of the
+            # one-hot compaction matrix.  (argsort at b8192 was a per-round
+            # sort network on the hot path; the cumsum is ~B adds.)
+            fz = frozen > 0
+            rank = jnp.cumsum(fz.astype(jnp.int32)) - 1  # [B]
             # ONE one-hot matrix serves gather AND scatter (TPU row
             # gathers/scatters serialize; f32 one-hot contractions are
             # exact for every value here, all < 2^24).  Non-taken rows
             # gather all-zero (blank) boards, whose full trip is a no-op
             # with zero machine pops — they add nothing to the compacted
             # batch's max-over-batch inner-loop trip counts.
-            hit = (idx[:, None] == bi[None, :]) & taken[:, None]  # [NF, B]
+            hit = (
+                rank[None, :] == jnp.arange(NF, dtype=jnp.int32)[:, None]
+            ) & fz[None, :]  # [NF, B]
             hit_f = hit.astype(jnp.float32)
+            taken = jnp.any(hit, axis=1)  # [NF] rows that really run
             touched = jnp.any(hit, axis=0)  # [B]
             RC = cfg.flat_size
 
@@ -214,17 +223,27 @@ def fused_specials_cascade(cfg, colour, kind, sub_keys, interpret=False,
                     (hit_f @ flat).astype(jnp.int32) - shift
                 ).reshape(NF, *a.shape[1:])
 
-            # refill grids for every board's CURRENT trip, gathered along
-            # (threefry draw is vectorised; the fold_in counter is the
-            # board's own trip number, exactly as the vmapped loop)
-            grids = jax.vmap(
+            # refill grids for the COMPACTED boards only: board index and
+            # trip counter come through the same one-hot contraction, the
+            # key rows through a tiny take (threefry draw is vectorised;
+            # the fold_in counter is the board's own trip number, exactly
+            # as the vmapped loop)
+            # true-f32 contraction: board indices reach B-1 > 256 and TPU's
+            # default f32 matmul is bf16 (exact only to 256)
+            idx = jnp.matmul(
+                hit_f, bi.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(jnp.int32)  # [NF]
+            g_trips = (hit_f @ trips.astype(jnp.float32)).astype(jnp.int32)
+            g_keys = jnp.take(sub_keys, idx, axis=0)
+            grids_nf = jax.vmap(
                 lambda s, t: draw_colour_grid(jax.random.fold_in(s, t), cfg)
-            )(sub_keys, trips)
+            )(g_keys, g_trips)
 
             gc = gath(colour)
             gk = gath(kind, 2)  # kinds span -1..4 → shift keeps them ≥ 0
             gg = jnp.where(
-                taken[:, None, None], gath(grids), 1
+                taken[:, None, None], grids_nf, 1
             )  # blank rows refill with colour 1 (discarded anyway)
             c2, k2, e, a_, n, o = jax.vmap(
                 lambda c, k, g: specials_cascade_trip_grid(cfg, c, k, g)
@@ -241,8 +260,11 @@ def fused_specials_cascade(cfg, colour, kind, sub_keys, interpret=False,
             kind = put(kind, k2, 2)
 
             def add(acc, rows):
-                return acc + (
-                    hit_f.T @ rows.astype(jnp.float32)[:, None]
+                # eliminations can exceed 256 (a 20x20 full trip deletes up
+                # to 400 cells) — not bf16-exact; force true f32
+                return acc + jnp.matmul(
+                    hit_f.T, rows.astype(jnp.float32)[:, None],
+                    precision=jax.lax.Precision.HIGHEST,
                 )[:, 0].astype(jnp.int32)
 
             return (
@@ -317,14 +339,57 @@ def batched_step_fused_sp(
     colour = jnp.where(effm, sw_colour, states.colour)
     kind = jnp.where(effm, sw_kind, states.kind)
 
-    # ---- combination branch (engine_move's run_comb), batch-gated ---------
+    # ---- combination branch (engine_move's run_comb), COMPACTED -----------
+    # At production batches `jnp.any(comb)` is ~always true (a few dozen
+    # boards of 8192 combo every step), and the vmapped combination_match —
+    # activation machinery included — over the FULL batch was ~45% of the
+    # step (round-5 XProf).  Gather the comb boards into NC-wide sub-batches
+    # (same one-hot-contraction compaction as the cascade's full trips),
+    # loop while any remain (one round almost always).
+    # Measured comb frequency at b8192 (random-effective policy): ~60 boards
+    # on fresh batches growing to ~580/step late-episode as specials
+    # accumulate — NC=1024 keeps it one compaction round; the machinery's
+    # serial depth is max-over-sub-batch either way, so fewer+wider rounds
+    # strictly dominate.
     comb = jax.vmap(is_combination)(kind, c1, c2) & eff
+    NC = min(1024, B)
+    bi_ = jnp.arange(B, dtype=jnp.int32)
+    RC = cfg.flat_size
 
-    def run_comb(args):
-        colour, kind, key = args
+    def comb_cond(carry):
+        colour, kind, key, elim, act, ovf, left = carry
+        return jnp.any(left)
+
+    def comb_round(carry):
+        colour, kind, key, elim, act, ovf, left = carry
+        rank = jnp.cumsum(left.astype(jnp.int32)) - 1
+        hit = (
+            rank[None, :] == jnp.arange(NC, dtype=jnp.int32)[:, None]
+        ) & left[None, :]  # [NC, B]
+        hit_f = hit.astype(jnp.float32)
+        taken = jnp.any(hit, axis=1)
+        touched = jnp.any(hit, axis=0)
+
+        def gath(a, shift=0):
+            flat = (a.reshape(B, -1) + shift).astype(jnp.float32)
+            return ((hit_f @ flat).astype(jnp.int32) - shift).reshape(
+                NC, *a.shape[1:]
+            )
+
+        # board indices reach B-1 > 256: TPU's DEFAULT f32 matmul runs in
+        # bf16 (8-bit mantissa) and silently rounds them — force a true-f32
+        # contraction (exact to 2^24).  The colour/kind/coord contractions
+        # stay on the fast default (all values < 256).
+        idx = jnp.matmul(
+            hit_f, bi_.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+        g_keys = jnp.take(key, idx, axis=0)
 
         def one(colour, kind, c1, c2, key):
-            colour2, kind2, act, ovf = combination_match(cfg, colour, kind, c1, c2)
+            colour2, kind2, act, ovf = combination_match(
+                cfg, colour, kind, c1, c2
+            )
             elim = cfg.flat_size - jnp.count_nonzero(kind2).astype(jnp.int32)
             colour2, kind2 = gravity(colour2, kind2)
             key2, kd = jax.random.split(key)
@@ -333,24 +398,54 @@ def batched_step_fused_sp(
             )
             return colour2, kind2, key2, elim, act, ovf
 
-        c2_, k2_, key2, elim, act, ovf = jax.vmap(one)(colour, kind, c1, c2, key)
-        sel = comb[:, None, None]
-        return (
-            jnp.where(sel, c2_, colour),
-            jnp.where(sel, k2_, kind),
-            jnp.where(comb[:, None], key2, key),
-            jnp.where(comb, elim, 0),
-            jnp.where(comb, act, 0),
-            ovf & comb,
+        c2_, k2_, key2, e_, a_, o_ = jax.vmap(one)(
+            gath(colour), gath(kind, 2), gath(c1), gath(c2), g_keys
         )
 
-    def skip_comb(args):
-        colour, kind, key = args
-        z = jnp.zeros((B,), jnp.int32)
-        return colour, kind, key, z, z, jnp.zeros((B,), bool)
+        def put(old, new_rows, shift):
+            flat = (new_rows.reshape(NC, RC) + shift).astype(jnp.float32)
+            out = (hit_f.T @ flat).astype(jnp.int32) - shift
+            return jnp.where(
+                touched[:, None], out, old.reshape(B, RC)
+            ).reshape(old.shape)
 
-    colour, kind, key1, comb_elim, comb_act, comb_ovf = jax.lax.cond(
-        jnp.any(comb), run_comb, skip_comb, (colour, kind, states.key)
+        colour = put(colour, c2_, 0)
+        kind = put(kind, k2_, 2)
+        # keys: scatter the evolved key rows back.  uint32 words exceed
+        # f32's exact range → bitcast to 16-bit halves, and contract at
+        # HIGHEST precision (TPU's default f32 matmul is bf16, exact only
+        # to 256 — 16-bit halves need true f32).
+        kw = jax.lax.bitcast_convert_type(key2, jnp.int32)  # [NC, 2]
+        lo = (kw & 0xFFFF).astype(jnp.float32)
+        hi = jax.lax.shift_right_logical(kw, 16).astype(jnp.float32)
+        hp = jax.lax.Precision.HIGHEST
+        lo_b = jnp.matmul(hit_f.T, lo, precision=hp).astype(jnp.int32)
+        hi_b = jnp.matmul(hit_f.T, hi, precision=hp).astype(jnp.int32)
+        key_new = jax.lax.bitcast_convert_type(
+            (hi_b << 16) | lo_b, key.dtype
+        )
+        key = jnp.where(touched[:, None], key_new, key)
+
+        def add(acc, rows):
+            # eliminations can exceed 256 (cookie+cookie clears the whole
+            # board) — not bf16-exact; force true f32
+            return acc + jnp.matmul(
+                hit_f.T, rows.astype(jnp.float32)[:, None],
+                precision=jax.lax.Precision.HIGHEST,
+            )[:, 0].astype(jnp.int32)
+
+        elim = add(elim, jnp.where(taken, e_, 0))
+        act = add(act, jnp.where(taken, a_, 0))
+        ovf = ovf | (
+            (hit_f.T @ jnp.where(o_ & taken, 1.0, 0.0)[:, None])[:, 0] > 0
+        )
+        return colour, kind, key, elim, act, ovf, left & ~touched
+
+    zi_ = jnp.zeros((B,), jnp.int32)
+    colour, kind, key1, comb_elim, comb_act, comb_ovf, _ = jax.lax.while_loop(
+        comb_cond,
+        comb_round,
+        (colour, kind, states.key, zi_, zi_, jnp.zeros((B,), bool), comb),
     )
 
     # ---- key evolution for the cascade (`key, sub = split(key)`) ----------
