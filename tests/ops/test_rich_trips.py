@@ -211,6 +211,33 @@ CASES = {
         (vline(3, 2, 3), pc),
         (vline(3, 4, 3), pc),
     ],
+    # v-centre star: one v-primary with TWO h-extensions (round-5 star
+    # absorption: bomb at the topmost generator, other ext independent)
+    "v_star2": lambda i, rng, pc: [
+        (vline(3, 4, 3 + (i % 2)), pc),
+        (hline(3, 3, 3), pc),
+        (hline(4 + (i % 2), 4 - (i % 2), 3 + (i // 2) % 2), pc),
+    ],
+    # h-centre star: one h-primary with TWO v-extensions (uext mixes drive
+    # the initiator/partner pop-order cases)
+    "h_star2": lambda i, rng, pc: [
+        (hline(4, 1, 3 + (i % 2)), pc),
+        (vline(4 - (i % 3), 1, 3 + (i // 3) % 2), pc),
+        (vline(4 - ((i + 1) % 3), 3, 3 + (i // 6) % 2), pc),
+    ],
+    # shared cookie centres: a len-5..7 line with extension/cross leaves
+    "cookie_star_v": lambda i, rng, pc: [
+        (vline(1, 3, 5 + (i % 3)), pc),
+        (hline(2 + (i % 4), 2 + (i % 2), 3 + (i // 4) % 2), pc),
+    ],
+    "cookie_star_h": lambda i, rng, pc: [
+        (hline(3, 1, 5 + (i % 3)), pc),
+        (vline(3, 2 + (i % 4), 3 + (i // 4) % 2), pc),  # uext == 0 ext
+    ],
+    "cookie_cross_v": lambda i, rng, pc: [
+        (vline(1, 2, 5 + (i % 3)), pc),
+        (hline(2 + (i % 4), 1, 3 + (i // 4) % 2), pc),  # crossing h-line
+    ],
 }
 
 

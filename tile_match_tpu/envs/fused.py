@@ -177,6 +177,75 @@ def fused_specials_cascade(cfg, colour, kind, sub_keys, interpret=False,
             lambda c, k, t: has_any_line(cfg, c, k) & (t < T)
         )(colour, kind, trips)
 
+    # Kernel width for rounds >= 2: after a machinery round at most NF
+    # boards woke up (plus a few still consuming simple trips), scattered
+    # across every 128-lane tile — a full-width relaunch paid one kernel
+    # body per tile for one or two live lanes each (39ms of a 127ms b16384
+    # step, round-5 XProf).  Compact the active lanes into NA lanes first.
+    NA = min(2 * NF, B)
+
+    def kernel_full(colour, kind, trips, elim):
+        out = cascade_sp_chunk(
+            cfg, colour, kind, sub_keys, trips, elim,
+            jnp.zeros((B,), jnp.int32), interpret=interpret,
+        )
+        # drop the active output (recomputed by the loop cond)
+        return out[:7] + (out[8],)
+
+    def kernel_compact(colour, kind, trips, elim):
+        alive = active_b(colour, kind, trips)
+        rank = jnp.cumsum(alive.astype(jnp.int32)) - 1
+        hit = (
+            rank[None, :] == jnp.arange(NA, dtype=jnp.int32)[:, None]
+        ) & alive[None, :]  # [NA, B]
+        hit_f = hit.astype(jnp.float32)
+        touched = jnp.any(hit, axis=0)
+        RC = cfg.flat_size
+        hp = jax.lax.Precision.HIGHEST
+
+        def gath(a, shift=0):
+            flat = (a.reshape(B, RC) + shift).astype(jnp.float32)
+            return ((hit_f @ flat).astype(jnp.int32) - shift).reshape(
+                NA, *a.shape[1:]
+            )
+
+        idx = jnp.matmul(
+            hit_f, bi.astype(jnp.float32), precision=hp
+        ).astype(jnp.int32)
+        g_trips = (hit_f @ trips.astype(jnp.float32)).astype(jnp.int32)
+        g_keys = jnp.take(sub_keys, idx, axis=0)
+        zna = jnp.zeros((NA,), jnp.int32)
+        (
+            c2, k2, t2, e_d, new_d, act_d, froz_d, _, reas_d,
+        ) = cascade_sp_chunk(
+            cfg, gath(colour), gath(kind, 2), g_keys, g_trips, zna, zna,
+            interpret=interpret,
+        )  # noqa: the active output is recomputed by the loop cond
+
+        def put(old, new_rows, shift):
+            flat = (new_rows.reshape(NA, RC) + shift).astype(jnp.float32)
+            out = (hit_f.T @ flat).astype(jnp.int32) - shift
+            return jnp.where(
+                touched[:, None], out, old.reshape(B, RC)
+            ).reshape(old.shape)
+
+        def put_vec(old, rows, exact=False):
+            prec = {"precision": hp} if exact else {}
+            out = jnp.matmul(
+                hit_f.T, rows.astype(jnp.float32)[:, None], **prec
+            )[:, 0].astype(jnp.int32)
+            return jnp.where(touched, out, old)
+
+        colour = put(colour, c2, 0)
+        kind = put(kind, k2, 2)
+        trips = put_vec(trips, t2)
+        elim_d = put_vec(jnp.zeros((B,), jnp.int32), e_d, exact=True)
+        new_d = put_vec(jnp.zeros((B,), jnp.int32), new_d, exact=True)
+        act_d = put_vec(jnp.zeros((B,), jnp.int32), act_d, exact=True)
+        frozen = put_vec(jnp.zeros((B,), jnp.int32), froz_d)
+        reasons_d = put_vec(jnp.zeros((B,), jnp.int32), reas_d)
+        return colour, kind, trips, elim_d, new_d, act_d, frozen, reasons_d
+
     def cond(carry):
         (colour, kind, trips, elim, act, new, trunc, reasons, fullt,
          round_) = carry
@@ -185,11 +254,22 @@ def fused_specials_cascade(cfg, colour, kind, sub_keys, interpret=False,
     def body(carry):
         (colour, kind, trips, elim, act, new, trunc, reasons, fullt,
          round_) = carry
+
+        def round0(args):
+            colour, kind, trips, elim = args
+            return kernel_full(colour, kind, trips, elim)
+
+        def later(args):
+            colour, kind, trips, elim = args
+            (
+                c2, k2, t2, e_d, n_d, a_d, froz, r_d,
+            ) = kernel_compact(colour, kind, trips, elim)
+            return c2, k2, t2, elim + e_d, n_d, a_d, froz, r_d
+
         (
-            colour, kind, trips, elim, new_d, act_d, frozen, _, reasons_d,
-        ) = cascade_sp_chunk(
-            cfg, colour, kind, sub_keys, trips, elim,
-            jnp.zeros((B,), jnp.int32), interpret=interpret,
+            colour, kind, trips, elim, new_d, act_d, frozen, reasons_d,
+        ) = jax.lax.cond(
+            round_ == 0, round0, later, (colour, kind, trips, elim)
         )
         new = new + new_d
         act = act + act_d

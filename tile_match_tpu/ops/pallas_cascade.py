@@ -125,6 +125,21 @@ def _chain_wsum(val_i, eq_i, shift, sgn, n):
     return out
 
 
+def _chain_wmax(val_i, eq_i, shift, sgn, n, minval):
+    """Run-max companion: max of ``val`` over the linked cells in one
+    direction (non-linked cells contribute ``minval``).  max(val, wmax_l,
+    wmax_r) is the run maximum — used to pick a star's initiator generator
+    among several on one line."""
+    cur = eq_i
+    out = jnp.where(cur > 0, shift(val_i, sgn, minval), minval)
+    for k in range(2, n):
+        cur = cur * shift(eq_i, sgn * (k - 1), 0)
+        out = jnp.maximum(
+            out, jnp.where(cur > 0, shift(val_i, sgn * k, minval), minval)
+        )
+    return out
+
+
 def _cummax(a, shift, n, minval):
     s = 1
     while s < n:
@@ -476,142 +491,291 @@ def _simple_trip_tile(cfg: EnvConfig, union, aux, k):
         )
         return simple, create, code, keep, reasons
 
-    # ---- bomb enabled: the full pair case table ---------------------------
+    # ---- bomb enabled: pair + STAR case tables ----------------------------
+    # A sharing component is absorbable when it is a pure CROSS pair (both
+    # primaries share exactly once) or a STAR: one centre primary with any
+    # number of extension-generator leaves (each ext shares only with its
+    # centre).  The classification queue's pop order (sort by first-coord
+    # row, stable, primaries inserted before extensions) is statically
+    # resolvable for stars:
+    #   * v-centre: the centre ALWAYS pops first (its top row is above every
+    #     generator row);
+    #   * h-centre: exts with uext >= 1 pop before the centre (their first
+    #     row is above the flag row), the centre before uext == 0 exts.
+    # The single bomb-pair event happens at the first length-3 line in pop
+    # order (length-4 lines pop as lasers first, `board.py:295`), pairing
+    # with the first still-queued sharing line — everything afterwards
+    # resolves independently by its own length.  Star size 1 reproduces the
+    # round-5 pairwise table exactly.
+    BIGI = jnp.int32(1 << 20)
     cross = member_h & member_v
-    # share cells per line: a cross cell, or an extension's generator
-    share_h = jnp.where(member_h & (member_v | cand_v), 1, 0)
-    share_v = jnp.where(member_v & (member_h | cand_h), 1, 0)
-    nsh_h = rs_row(share_h)  # valid at member_h cells (run == colour run)
-    nsh_v = rs_col(share_v)
-    unsh_h = nsh_h == 0
-    unsh_v = nsh_v == 0
+    ch_i = jnp.where(cand_h, 1, 0)
+    cv_i = jnp.where(cand_v, 1, 0)
+    mh_i = jnp.where(member_h, 1, 0)
+    mv_i = jnp.where(member_v, 1, 0)
+    cr_i = jnp.where(cross, 1, 0)
 
-    # ---- lane defers ------------------------------------------------------
+    # per-v-run aggregates (one v-run per column → column reductions)
+    n_gh_col = jnp.sum(ch_i, axis=0, keepdims=True)  # [1, C, TB]
+    n_crv_col = jnp.sum(cr_i * mv_i, axis=0, keepdims=True)
+    nsh_v = n_gh_col + n_crv_col  # broadcasts over the column
+    vl_col = jnp.max(mv_i * vl, axis=0, keepdims=True)
+    unsh_v = member_v & (nsh_v == 0)
+
+    # per-h-run aggregates (chain reductions: several runs share the flag
+    # row, and maximal colour runs == the lines exactly)
+    n_gv_run = rs_row(cv_i)  # valid at member_h cells
+    n_crh_run = rs_row(cr_i * mh_i)
+    nsh_h = n_gv_run + n_crh_run
+    unsh_h = member_h & (nsh_h == 0)
+
+    def rmax_row(val_i, minval):
+        return jnp.maximum(
+            val_i,
+            jnp.maximum(
+                _chain_wmax(val_i, aux["eq_l"], _shift_c, 1, C, minval),
+                _chain_wmax(val_i, aux["eq_r"], _shift_c, -1, C, minval),
+            ),
+        )
+
+    # ---- residual defers --------------------------------------------------
     multi = (
-        (member_h & (nsh_h >= 2))
-        | (member_v & (nsh_v >= 2))
         # extension lines sharing a non-primary cell with each other
-        | (aux["nonprim"] & aux["cover_h"] & aux["cover_v"])
+        (aux["nonprim"] & aux["cover_h"] & aux["cover_v"])
+        # two same-orientation extensions in one row/col could overlap
+        | (cand_h & (jnp.sum(ch_i, axis=1, keepdims=True) >= 2))
+        | (cand_v & (jnp.sum(cv_i, axis=0, keepdims=True) >= 2))
+        # cross mixed with extensions on the same line stays sequential
+        # (except crosses as leaves of a v cookie-centre, handled below)
+        | (member_h & (n_gv_run >= 1) & (n_crh_run >= 1))
+        # two crosses on one line
+        | (member_h & (n_crh_run >= 2))
+        | (member_v & (n_crv_col >= 2))
     )
-    # two same-orientation extensions in one row/col could overlap; one per
-    # row/col is the common case and provably overlap-free
-    nch_row = jnp.sum(jnp.where(cand_h, 1, 0), axis=1, keepdims=True)
-    ncv_col = jnp.sum(jnp.where(cand_v, 1, 0), axis=0, keepdims=True)
-    multi = multi | (cand_h & (nch_row >= 2)) | (cand_v & (ncv_col >= 2))
+    ext_bad = (cand_h & (hext >= 5)) | (cand_v & (vext >= 5))
 
+    # ---- v-centre stars (centre pops first, leaves independent) -----------
+    v_star = member_v & (n_gh_col >= 1) & (n_crv_col == 0)
+    # vl==3: bomb at the TOPMOST generator (first ext in the sorted queue —
+    # ext first rows are their generator rows, one generator per row)
+    top_g_row = jnp.min(
+        jnp.where(cand_h, r_ids, BIGI), axis=0, keepdims=True
+    )  # [1, C, TB]
+    v3_top = cand_h & (vl == 3) & (n_crv_col == 0) & (r_ids == top_g_row)
+    # vl==4: centre lasers first; a len-4 ext whose row is the laser pick
+    # row (ucnt==1) loses its own pick cell to taken_pos → defer
+    v4_star_bad = cand_h & (vl == 4) & (hext == 4) & (ucnt == 1)
+    # v cookie-centre (5..7; len-8's re-queued remainder can re-pair) —
+    # crosses ARE allowed as leaves (they resolve independently after the
+    # centre cookies itself away), if the crossing line is a clean leaf
+    v_ck_ok = (
+        member_v & (vl >= 5) & (vl <= 7) & (nsh_v >= 1)
+        if cfg.cookie
+        else zb
+    )
+    # a len-4 ext generated on the cookie-pick row loses the pick cell
+    v_ck_bad = cand_h & (vl >= 5) & (vl <= 7) & (hext == 4) & (ucnt == 2)
+    # leaves of a v cookie-centre: the crossing h-run must itself be a
+    # single-share len-3/4 line
+    v_ck_col = jnp.max(jnp.where(v_ck_ok, 1, 0), axis=0, keepdims=True) > 0
+    cross_leaf = cross & v_ck_col & (nsh_h == 1) & ((hl == 3) | (hl == 4))
+
+    # ---- h-centre stars ---------------------------------------------------
+    h_star = member_h & (n_gv_run >= 1) & (n_crh_run == 0)
+    e3 = cand_v & (vext == 3) & (uext >= 1)  # bomb trigger before the centre
+    has_e3 = rs_row(jnp.where(e3, 1, 0)) > 0  # run-wide
+    # case A initiator: first len-3 uext>=1 ext in pop order = max uext,
+    # ties → leftmost generator
+    init_key = jnp.where(e3, uext * C + (C - 1 - c_ids), -1)
+    initA = e3 & (init_key == rmax_row(init_key, jnp.int32(-1))) & h_star
+    # case B partner: centre len-3 pops and pairs with the leftmost
+    # still-queued (uext==0) ext, any length
+    u0g = cand_v & (uext == 0)
+    u0_key = jnp.where(u0g, C - 1 - c_ids, -1)
+    has_u0 = rs_row(jnp.where(u0g, 1, 0)) > 0
+    partB = (
+        u0g
+        & (u0_key == rmax_row(u0_key, jnp.int32(-1)))
+        & h_star
+        & ~has_e3
+        & (hl == 3)
+    )
+    # h-centre lasers (hl==4, no e3): a len-4 uext==1 ext lasers at its own
+    # generator (a centre cell) first, shifting the centre's pick; a len-4
+    # uext==0 ext whose generator sits on the centre's pick column loses
+    # its own pick
+    h4_star_bad = h_star & (hl == 4) & ~has_e3 & (
+        rs_row(
+            jnp.where(
+                (cand_v & (vext == 4) & (uext == 1))
+                | (cand_v & (vext == 4) & (uext == 0) & (lcnt == 1)),
+                1,
+                0,
+            )
+        )
+        > 0
+    )
+    # h cookie-centre (5..7): a len-3 uext>=1 ext would bomb-pair with the
+    # centre (partner shrink + requeued fragments) → defer; len-4 uext==1
+    # exts laser at a centre cell before the centre picks; len-4 uext==0
+    # exts on the pick column lose their pick
+    h_ck_ok = (
+        member_h & (hl >= 5) & (hl <= 7) & (nsh_h >= 1) & (n_crh_run == 0)
+        & ~has_e3
+        if cfg.cookie
+        else zb
+    )
+    h_ck_bad = member_h & (hl >= 5) & (hl <= 7) & (
+        has_e3
+        | (
+            rs_row(
+                jnp.where(
+                    (cand_v & (vext == 4) & (uext == 1))
+                    | (cand_v & (vext == 4) & (uext == 0) & (lcnt == 2)),
+                    1,
+                    0,
+                )
+            )
+            > 0
+        )
+    ) & (n_gv_run >= 1)
+
+    # ---- length defers ----------------------------------------------------
+    shared_h = member_h & (nsh_h >= 1)
+    shared_v = member_v & (nsh_v >= 1)
     if cfg.cookie:
-        len_bad = (member_h & ((hl >= 9) | ((hl >= 5) & ~unsh_h))) | (
-            member_v & ((vl >= 9) | ((vl >= 5) & ~unsh_v))
+        len_bad = (
+            (member_h & (hl >= 9))
+            | (member_v & (vl >= 9))
+            | (shared_h & (hl == 8))
+            | (shared_v & (vl == 8))
+            | (shared_h & (hl >= 5) & (hl <= 7) & ~(h_ck_ok & ~h_ck_bad))
+            | (shared_v & (vl >= 5) & (vl <= 7) & ~v_ck_ok)
         )
     else:
         # a shared >=5 line still bomb-pairs (order-dependent) → defer
-        len_bad = (member_h & (hl >= 5) & ~unsh_h) | (
-            member_v & (vl >= 5) & ~unsh_v
-        )
-    ext_bad = (cand_h & (hext >= 5)) | (cand_v & (vext >= 5))
+        len_bad = (shared_h & (hl >= 5)) | (shared_v & (vl >= 5))
 
-    # ---- pair cases at cross cells (v-primary always pops first) ----------
-    cr33 = cross & (hl == 3) & (vl == 3)  # bomb@p, full delete
-    cr43 = cross & (hl == 4) & (vl == 3)  # bomb@p, h-run survivor
-    crv4 = cross & (vl == 4) & ((hl == 3) | (hl == 4))  # v-laser (+h-laser)
-    cross_bad = cross & ~(cr33 | cr43 | crv4)
+    # ---- cross pairs (both sides single-share) ----------------------------
+    cr_pair = cross & (nsh_h == 1) & (nsh_v == 1)
+    cr33 = cr_pair & (hl == 3) & (vl == 3)  # bomb@p, full delete
+    cr43 = cr_pair & (hl == 4) & (vl == 3)  # bomb@p, h-run survivor
+    crv4 = cr_pair & (vl == 4) & ((hl == 3) | (hl == 4))  # v-laser (+h)
+    cross_bad = cross & ~(cr33 | cr43 | crv4 | cross_leaf)
 
-    # ---- pair cases at h-extension generators (on a v-primary; the
-    # primary always pops first: its top row <= the generator's row) -------
-    gh_b3 = cand_h & (vl == 3) & (hext == 3)  # bomb@p, full delete
-    gh_b4 = cand_h & (vl == 3) & (hext == 4)  # bomb@p, ext survivor
-    gh_l3 = cand_h & (vl == 4) & (hext == 3)  # v-laser; ext normal
-    #       v-laser + ext h-laser, unless the v-laser pick (top+1) is the
-    #       generator row (it would be taken out of the ext's pick set)
-    gh_l4 = cand_h & (vl == 4) & (hext == 4) & (ucnt != 1)
-    gh_bad = cand_h & (hext <= 4) & ~(gh_b3 | gh_b4 | gh_l3 | gh_l4)
-
-    # ---- pair cases at v-extension generators (on an h-primary; the ext
-    # pops first iff it extends above the primary's row, uext >= 1) --------
-    gv_b3 = cand_v & (hl == 3) & (vext == 3)  # bomb@p, full delete
-    gv_b4d = cand_v & (hl == 3) & (vext == 4) & (uext == 0)  # bomb@p, ext surv
-    gv_el = cand_v & (hl == 3) & (vext == 4) & (uext >= 1)  # ext v-laser
-    gv_b43 = cand_v & (hl == 4) & (vext == 3) & (uext >= 1)  # bomb@p, run surv
-    gv_hl3 = cand_v & (hl == 4) & (vext == 3) & (uext == 0)  # h-laser; ext nml
-    gv_ll2 = cand_v & (hl == 4) & (vext == 4) & (uext >= 2)  # both lasers
-    #       h-laser pops first; its pick (start+1) must not be the
-    #       generator column (taken_pos would shift the ext's pick)
-    gv_ll0 = cand_v & (hl == 4) & (vext == 4) & (uext == 0) & (lcnt != 1)
-    gv_bad = cand_v & (vext <= 4) & ~(
-        gv_b3 | gv_b4d | gv_el | gv_b43 | gv_hl3 | gv_ll2 | gv_ll0
+    star_bad = (
+        v4_star_bad
+        | (v_ck_bad & v_ck_col)
+        | h4_star_bad
+        | (cand_h & (hext <= 4) & (vl == 3) & (n_crv_col >= 1))  # mixed
     )
 
     reasons = (
         _lane_any(len_bad) * REASON_LEN5
         + _lane_any(ext_bad) * REASON_EXT4
-        + _lane_any(gh_bad | gv_bad) * REASON_EXT_BOMB
+        + _lane_any(star_bad | h_ck_bad) * REASON_EXT_BOMB
         + _lane_any(cross_bad) * REASON_CROSS
         + _lane_any(multi) * REASON_MULTI
     )
     simple = (
-        _lane_any(len_bad | ext_bad | multi | cross_bad | gh_bad | gv_bad)
+        _lane_any(
+            len_bad | ext_bad | multi | cross_bad | star_bad | h_ck_bad
+        )
         == 0
     )
 
     # ---- creations --------------------------------------------------------
-    bomb_cells = cr33 | cr43 | gh_b3 | gh_b4 | gv_b3 | gv_b4d | gv_b43
-
-    # v-lasers on a length-4 v-primary: unshared, or a pair case where it
-    # pops first.  One v-primary per column → column broadcast to the pick
-    # cell (offset 1 from the top, `board.py:447`).
-    v4_flag = jnp.max(
-        jnp.where(crv4 | gh_l3 | gh_l4, 1, 0), axis=0, keepdims=True
-    )  # [1, C, TB]
-    v4 = member_v & (vl == 4) & (ucnt == 1) & (unsh_v | (v4_flag > 0))
-    # h-lasers on a length-4 h-primary: broadcast along the RUN (several
-    # h-runs can share the flag row)
-    h4_flag = rs_row(
-        jnp.where((crv4 & (hl == 4)) | gv_hl3 | gv_ll2 | gv_ll0, 1, 0)
+    bomb_cells = (
+        cr33
+        | cr43
+        | v3_top
+        | (initA & ((hl == 3) | (hl == 4)))
+        | partB
     )
-    h4 = member_h & (hl == 4) & (lcnt == 1) & (unsh_h | (h4_flag > 0))
+
+    # v-lasers on a length-4 v-primary: unshared, a crv4 pair, or a v-star
+    # centre.  One v-primary per column → column broadcast to the pick cell
+    # (offset 1 from the top, `board.py:447`).
+    v4_flag = (
+        jnp.max(jnp.where(crv4, 1, 0), axis=0, keepdims=True) > 0
+    ) | ((n_gh_col >= 1) & (n_crv_col == 0))
+    v4 = member_v & (vl == 4) & (ucnt == 1) & ((nsh_v == 0) | v4_flag)
+    # h-lasers on a length-4 h-primary: unshared, crv4 with hl==4, h-star
+    # case B (no e3 initiator), or a leaf of a v cookie-centre
+    h4_flag = (
+        rs_row(
+            jnp.where((crv4 & (hl == 4)) | cross_leaf, 1, 0)
+        )
+        > 0
+    ) | ((n_gv_run >= 1) & (n_crh_run == 0) & ~has_e3)
+    h4 = member_h & (hl == 4) & (lcnt == 1) & ((nsh_h == 0) | h4_flag)
 
     # extension lasers: pick = ext's second coordinate.  One candidate per
     # row/col (enforced above) → row/col broadcast of the target index.
-    ext_vl = gv_el | gv_ll2 | gv_ll0  # target row = r - uext + 1
+    # Every len-4 ext of an absorbed structure lasers EXCEPT a bomb partner
+    # (v3_top / partB cells keep their bomb).
+    ext_vl = (
+        cand_v & (vext == 4) & h_star & ~partB
+    )  # target row = r - uext + 1
     tgt_vr = jnp.sum(
         jnp.where(ext_vl, r_ids - uext + 2, 0), axis=0, keepdims=True
     )  # [1, C, TB], +1 sentinel
     ext_vl_cells = (r_ids + 1) == tgt_vr
-    ext_hl = gh_l4  # target col = c - lext + 1
+    ext_hl = (
+        cand_h & (hext == 4) & ((v_star & ~v3_top) | (v_ck_col & (vl >= 5)))
+    )  # target col = c - lext + 1
     tgt_hc = jnp.sum(
         jnp.where(ext_hl, c_ids - lext + 2, 0), axis=1, keepdims=True
     )  # [R, 1, TB]
     ext_hl_cells = (c_ids + 1) == tgt_hc
 
-    # cookies on unshared length-5..8 primaries
+    # cookies on length-5..8 primaries: unshared (5..8) or star centres (5..7)
     if cfg.cookie:
-        ck_h = member_h & (hl >= 5) & (hl <= 8) & unsh_h & (lcnt == 2)
-        ck_v = member_v & (vl >= 5) & (vl <= 8) & unsh_v & (ucnt == 2)
+        ck_h = member_h & (hl >= 5) & (hl <= 8) & (lcnt == 2) & (
+            (nsh_h == 0) | h_ck_ok
+        )
+        ck_v = member_v & (vl >= 5) & (vl <= 8) & (ucnt == 2) & (
+            (nsh_v == 0) | v_ck_ok
+        )
         ck = ck_h | ck_v
     else:
         ck = zb
 
     # ---- survivors (cells of the union the resolution never touches) ------
-    # length-4 partner popping second into a bomb: its unique farthest cell
+    # length-4 h-run popping second into a bomb: its unique farthest cell
     # from the share point survives (`board.py:309-312` takes the 3 closest)
-    hrun_s = cr43 | gv_b43
+    hrun_s = cr43 | (initA & (hl == 4))
     surv_col = jnp.where(rcnt > lcnt, c_ids + rcnt, c_ids - lcnt)
     sc_b = rs_row(jnp.where(hrun_s, surv_col + 1, 0))
     keep = member_h & ((c_ids + 1) == sc_b)
-    # h-extension survivor (row broadcast)
+    # h-extension survivor: the bomb partner of a vl==3 star when len 4
     hx_surv = jnp.where(rext > lext, c_ids + rext, c_ids - lext)
     tgt_sc = jnp.sum(
-        jnp.where(gh_b4, hx_surv + 1, 0), axis=1, keepdims=True
+        jnp.where(v3_top & (hext == 4), hx_surv + 1, 0),
+        axis=1,
+        keepdims=True,
     )
     keep = keep | (((c_ids + 1) == tgt_sc) & aux["nonprim"])
-    # v-extension survivor (uext==0 case: farthest is r + dext)
+    # v-extension survivor: a case-B partner of len 4 (uext==0 → farthest
+    # is r + dext)
     tgt_sr = jnp.sum(
-        jnp.where(gv_b4d, r_ids + dext + 1, 0), axis=0, keepdims=True
+        jnp.where(partB & (vext == 4), r_ids + dext + 1, 0),
+        axis=0,
+        keepdims=True,
     )
     keep = keep | (((r_ids + 1) == tgt_sr) & aux["nonprim"])
     if cfg.cookie:
-        keep = keep | (member_h & (hl >= 6) & (hl <= 7) & unsh_h & (lcnt >= 5))
-        keep = keep | (member_v & (vl >= 6) & (vl <= 7) & unsh_v & (ucnt >= 5))
+        # cookie lines keep their offset>=5 cells — except those that are
+        # also a leaf's cells (a generator, or a crossing line's cell),
+        # which that leaf's own resolution deletes
+        keep = keep | (
+            member_h & (hl >= 6) & (hl <= 7) & (lcnt >= 5)
+            & ((nsh_h == 0) | h_ck_ok) & ~cand_v & ~cross
+        )
+        keep = keep | (
+            member_v & (vl >= 6) & (vl <= 7) & (ucnt >= 5)
+            & ((nsh_v == 0) | v_ck_ok) & ~cand_h & ~cross
+        )
 
     vl_cells = (v4 | ext_vl_cells) if v_code else zb
     hl_cells = (h4 | ext_hl_cells) if h_code else zb
@@ -1044,11 +1208,21 @@ def _cascade_sp_kernel(
     limit = limit_ref[0, 0]
 
     def cond(carry):
-        x, k, trips, elim, new, act, frozen, reasons, t, go = carry
-        return go & (t < limit)
+        x, k, trips, elim, new, act, frozen, reasons, t = carry
+        # cheap liveness check (~20 ops) BEFORE the ~500-op body: the outer
+        # rounds loop relaunches this kernel after every machinery round,
+        # and most tiles have nothing left to consume — without this check
+        # every relaunch paid one full body per tile (39ms of a 127ms step
+        # at b16384, round-5 XProf)
+        live = (
+            _active_tile(x)
+            * jnp.where(frozen == 0, 1, 0)
+            * jnp.where(trips < Tmax, 1, 0)
+        )
+        return (t < limit) & (jnp.sum(live) > 0)
 
     def body(carry):
-        x, k, trips, elim, new, act, frozen, reasons, t, go = carry
+        x, k, trips, elim, new, act, frozen, reasons, t = carry
         union, exists, aux = _union_mask_tile(x, R, C, want_aux=True)
         shape_ok, create, code, keep, rbits = _simple_trip_tile(
             cfg, union, aux, k
@@ -1171,17 +1345,15 @@ def _cascade_sp_kernel(
         x = jnp.where(refill, fill, x)
         k = jnp.where(refill, 1, k)
         trips = trips + proc
-        go = jnp.sum(proc) > 0
-        return x, k, trips, elim, new, act, frozen, reasons, t + 1, go
+        return x, k, trips, elim, new, act, frozen, reasons, t + 1
 
-    x, k, trips, elim, new, act, frozen, reasons, _, _ = jax.lax.while_loop(
+    x, k, trips, elim, new, act, frozen, reasons, _ = jax.lax.while_loop(
         cond,
         body,
         (
             x0, k0, trips_ref[:], elim_ref[:],
             jnp.zeros_like(elim_ref[:]), jnp.zeros_like(elim_ref[:]),
             frozen_ref[:], jnp.zeros_like(elim_ref[:]), jnp.int32(0),
-            jnp.asarray(True),
         ),
     )
 
