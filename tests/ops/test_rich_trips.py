@@ -331,3 +331,30 @@ def test_cookie_creation_consumed_in_kernel():
     )
     assert int(trips_o[0]) >= 1, "cookie line was deferred instead of absorbed"
     assert int(new_o[0]) >= 1, "no cookie tile created in-kernel"
+
+
+CFG_BIG = EnvConfig.create(
+    15, 18, 5, 6,
+    colourless_specials=("cookie",),
+    colour_specials=("vertical_laser", "horizontal_laser", "bomb"),
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_big_board_lean_path(seed):
+    """R*C > 256 boards route through the LEAN predicate (sharing and >=5
+    lines defer; the star/pairwise chain reductions exceed the Mosaic
+    compiler's budget at 20x20) — must still be bit-exact vs the
+    machinery."""
+    rng = np.random.default_rng(seed)
+    B, R, C = 12, 15, 18
+    cols = rng.integers(1, 6, size=(B, R, C)).astype(np.int32)
+    kinds = np.ones((B, R, C), np.int32)
+    for b in range(0, B, 2):
+        for _ in range(rng.integers(1, 6)):
+            r, c = rng.integers(0, R), rng.integers(0, C)
+            k = int(rng.choice([2, 3, 4, -1]))
+            kinds[b, r, c] = k
+            if k == -1:
+                cols[b, r, c] = 0
+    assert_cascade_match(CFG_BIG, cols, kinds, seed + 60, f"big{seed}")

@@ -383,6 +383,50 @@ REASON_CROSS = 32  # h x v primary crossing outside the absorbed case table
 REASON_MULTI = 64  # a line with >=2 shares / overlapping extensions
 
 
+def _lean_trip_tile(cfg, union, aux, k, h_code, v_code, zb):
+    """The LEAN predicate for very large boards: disjoint length-3 normals
+    and unshared length-4 lasers only; any sharing, >=5 line or extension
+    defers (the round-4 conservative rules).  No run-sum chains — even the
+    pairwise table's unrolled reductions exceed the Mosaic compiler's
+    budget at 20x20."""
+    if cfg.cookie:
+        len_bad = (aux["member_h"] & (aux["hl"] >= 5)) | (
+            aux["member_v"] & (aux["vl"] >= 5)
+        )
+    else:
+        len_bad = zb
+    ext_bad = (aux["cand_h"] & (aux["hext"] >= 4)) | (
+        aux["cand_v"] & (aux["vext"] >= 4)
+    )
+    reasons = (
+        _lane_any(len_bad) * REASON_LEN5 + _lane_any(ext_bad) * REASON_EXT4
+    )
+    complex_cells = len_bad | ext_bad
+    ext_under_bomb = aux["cand_h"] | aux["cand_v"]
+    cross = aux["member_h"] & aux["member_v"]
+    reasons = (
+        reasons
+        + _lane_any(ext_under_bomb) * REASON_EXT_BOMB
+        + _lane_any(cross) * REASON_CROSS
+    )
+    complex_cells = complex_cells | ext_under_bomb | cross
+    simple = _lane_any(complex_cells) == 0
+
+    h4 = (
+        aux["member_h"] & (aux["hl"] == 4) & (aux["lcnt"] == 1)
+        if h_code
+        else zb
+    )
+    v4 = (
+        aux["member_v"] & (aux["vl"] == 4) & (aux["ucnt"] == 1)
+        if v_code
+        else zb
+    )
+    create = h4 | v4
+    code = jnp.where(h4, h_code, jnp.where(v4, v_code, 0))
+    return simple, create, code, zb, reasons
+
+
 def _simple_trip_tile(cfg: EnvConfig, union, aux, k):
     """([1, TB] bool simple, [R, C, TB] bool create, i32 create_code_grid,
     [R, C, TB] bool keep, [1, TB] i32 reason_bits)
@@ -490,6 +534,12 @@ def _simple_trip_tile(cfg: EnvConfig, union, aux, k):
             h4, h_code, jnp.where(v4, v_code, jnp.where(ck_h | ck_v, -1, 0))
         )
         return simple, create, code, keep, reasons
+
+    if R * C > 256:
+        # Big boards: even the pairwise table's unrolled chain reductions
+        # crash the remote Mosaic compiler at 20x20 — use the lean
+        # predicate (sharing and >=5 lines defer to the machinery).
+        return _lean_trip_tile(cfg, union, aux, k, h_code, v_code, zb)
 
     # ---- bomb enabled: pair + STAR case tables ----------------------------
     # A sharing component is absorbable when it is a pure CROSS pair (both
@@ -1198,7 +1248,7 @@ def cascade_reference(cfg: EnvConfig, colour_b, sub_keys):
 
 
 def _cascade_sp_kernel(
-    R, C, Tmax, cfg, limit_ref, col_ref, kind_ref, keys_ref,
+    R, C, Tmax, cfg, tf_fills, limit_ref, col_ref, kind_ref, keys_ref,
     trips_ref, elim_ref, frozen_ref,
     out_col, out_kind, out_trips, out_elim, out_new, out_act, out_frozen,
     out_active, out_reasons,
@@ -1339,8 +1389,14 @@ def _cascade_sp_kernel(
         new = new + proc * n_created
         act = act + proc * act_n
         x, k = _gravity_two_tile(x, k, R)
-        kw = keys_ref[pl.ds(t, 1)].reshape(4, TB)
-        fill = _fill_tile(kw, R, C, cfg.num_colours)
+        if tf_fills:
+            kw = keys_ref[pl.ds(t, 1)].reshape(4, TB)
+            fill = _fill_tile(kw, R, C, cfg.num_colours)
+        else:
+            # big boards: the in-kernel threefry unroll (~220 extra ops on
+            # [R, C, TB]) breaks the remote Mosaic compiler at R*C=400 —
+            # consume grids precomputed by the wrapper instead
+            fill = keys_ref[pl.ds(t, 1)].reshape(R, C, TB)
         refill = (x == 0) & (k == 0)
         x = jnp.where(refill, fill, x)
         k = jnp.where(refill, 1, k)
@@ -1400,13 +1456,29 @@ def cascade_sp_chunk(
     elim = vec(elim_b)
     frozen = vec(frozen_b)
 
-    # fill keys with per-lane bases: fills for trip (trips[lane] + j) are
-    # generated IN-KERNEL from the split-key words — identical to the XLA
-    # loop's draw_colour_grid(fold_in(sub, it))
-    fills = _fill_key_words(sub_keys, trips_b.astype(jnp.int32), TC, Bp)
+    # in-kernel threefry (small boards): only the 4 fold_in/split key words
+    # per (lane, trip) cross HBM.  Big boards (R*C > 256) precompute the
+    # grids with the exact jax.random ops instead — the threefry unroll on
+    # [R, C, TB] breaks the remote Mosaic compiler at 20x20.
+    tf_fills = R * C <= 256
+    if tf_fills:
+        fills = _fill_key_words(sub_keys, trips_b.astype(jnp.int32), TC, Bp)
+        fills_spec = pl.BlockSpec((TC, 4, TB), lambda i: (0, 0, i))
+    else:
+        js = jnp.arange(TC, dtype=jnp.int32)
+
+        def per_board(k, base):
+            return jax.vmap(
+                lambda j: draw_colour_grid(jax.random.fold_in(k, base + j), cfg)
+            )(js)
+
+        f = jax.vmap(per_board)(sub_keys, trips_b.astype(jnp.int32))
+        f = jnp.transpose(f.reshape(B, TC, R * C), (1, 2, 0))
+        fills = jnp.pad(f, ((0, 0), (0, 0), (0, Bp - B)))
+        fills_spec = pl.BlockSpec((TC, R * C, TB), lambda i: (0, 0, i))
 
     limit = jnp.full((1, 1), TC, jnp.int32)
-    kernel = functools.partial(_cascade_sp_kernel, R, C, T, cfg)
+    kernel = functools.partial(_cascade_sp_kernel, R, C, T, cfg, tf_fills)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -1414,7 +1486,7 @@ def cascade_sp_chunk(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((R * C, TB), lambda i: (0, i)),
             pl.BlockSpec((R * C, TB), lambda i: (0, i)),
-            pl.BlockSpec((TC, 4, TB), lambda i: (0, 0, i)),
+            fills_spec,
             pl.BlockSpec((1, TB), lambda i: (0, i)),
             pl.BlockSpec((1, TB), lambda i: (0, i)),
             pl.BlockSpec((1, TB), lambda i: (0, i)),
