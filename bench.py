@@ -66,10 +66,11 @@ CONFIGS = [
     (20, 20, 6, 100, ("cookie",), ("vertical_laser", "horizontal_laser", "bomb")),
 ]
 
-# Measured round-4 per-config batch optima (the fused Pallas cascade made
-# throughput grow with batch on the no-specials configs, while the specials
-# configs' full-machinery rounds still favour moderate batches).
-CONFIG_BATCH = [32768, 16384, 4096, 4096, 2048]
+# Measured round-5 per-config batch optima.  The round-5 kernel coverage
+# (~97% of specials trips consumed in-kernel) plus active-lane/combination
+# compaction moved the specials optima up to b8192-16384; the no-specials
+# optima are unchanged from round 4.
+CONFIG_BATCH = [32768, 16384, 16384, 16384, 8192]
 
 
 def _config_index() -> int:

@@ -817,14 +817,20 @@ def _simple_trip_tile(cfg: EnvConfig, union, aux, k):
     if cfg.cookie:
         # cookie lines keep their offset>=5 cells — except those that are
         # also a leaf's cells (a generator, or a crossing line's cell),
-        # which that leaf's own resolution deletes
+        # which that leaf's own resolution deletes.  A remainder cell can
+        # also be the END cell of a perpendicular PRIMARY line (an L-share
+        # invisible to nsh_*, which only counts generators/crossings) —
+        # that line's own match deletes it (`board.py:287-292` drops the
+        # remainder without deleting, but the perpendicular pop already
+        # removed the cell), so member cells of the other orientation are
+        # never kept.
         keep = keep | (
             member_h & (hl >= 6) & (hl <= 7) & (lcnt >= 5)
-            & ((nsh_h == 0) | h_ck_ok) & ~cand_v & ~cross
+            & ((nsh_h == 0) | h_ck_ok) & ~cand_v & ~cross & ~member_v
         )
         keep = keep | (
             member_v & (vl >= 6) & (vl <= 7) & (ucnt >= 5)
-            & ((nsh_v == 0) | v_ck_ok) & ~cand_h & ~cross
+            & ((nsh_v == 0) | v_ck_ok) & ~cand_h & ~cross & ~member_h
         )
 
     vl_cells = (v4 | ext_vl_cells) if v_code else zb
